@@ -1,0 +1,189 @@
+"""P4 — candidate extraction: the relational core.
+
+The reference materializes a per-document cross product of mention lists with
+a throttler + self/nested/symmetric filters inside a Python loop
+(/root/reference/src/fonduer/candidates/candidates.py:220-325). Here the
+document-local cross product is an **equi-join on url** — Catalyst plans it
+as a shuffle/broadcast hash join, AQE splits skewed (hot) documents — and the
+filters are pure column predicates over the denormalized mention rows (this
+is the BASELINE.json "salted, skew-aware flatMap-style DataFrame transform
+replacing Fonduer's Postgres-backed UDFRunner").
+
+Scale notes:
+- hot documents explode quadratically; AQE skew-join
+  (``spark.sql.adaptive.skewJoin.enabled``) splits their partitions. An
+  explicit mention-bucket salt is available via ``salt_buckets`` for clusters
+  where AQE is insufficient.
+- throttlers that are Column expressions (same_row/same_col/...) are pushed
+  into the join condition by Catalyst; opaque Python throttlers run as an
+  Arrow-batched filter after the join.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .mentions_op import MENTION_COLUMNS
+
+ColumnThrottler = Callable[[DataFrame], Column]
+PandasThrottler = Callable[[pd.DataFrame], "pd.Series"]
+
+
+def _with_mention_idx(df: DataFrame) -> DataFrame:
+    """Per-document generation-order index (reference enumerates each
+    mention list in document order, candidates.py:263-274). Deterministic
+    under any partitioning: ordered by (sentence_position, emit_seq)."""
+    w = (
+        Window.partitionBy("url")
+        .orderBy("sentence_position", "emit_seq", "char_start")
+    )
+    return df.withColumn("mention_idx", F.row_number().over(w) - F.lit(1))
+
+
+def extract_candidates(
+    mentions: DataFrame,
+    candidate_type: str,
+    type_a: str,
+    type_b: str,
+    throttler: Optional[Union[ColumnThrottler, PandasThrottler]] = None,
+    throttler_kind: str = "column",
+    self_relations: bool = False,
+    nested_relations: bool = False,
+    symmetric_relations: bool = True,
+    split: int = 0,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Binary candidate extraction as a document-local join.
+
+    Defaults mirror the reference CandidateExtractor
+    (candidates.py:62-71: self=False, nested=False, symmetric=True).
+    """
+    a = mentions.where(F.col("mention_type") == type_a)
+    b = mentions.where(F.col("mention_type") == type_b)
+    need_idx = not symmetric_relations
+    if need_idx:
+        a = _with_mention_idx(a)
+        b = _with_mention_idx(b)
+
+    def prefix_with_idx(df: DataFrame, prefix: str) -> DataFrame:
+        cols = [F.col(c).alias(f"{prefix}{c}") for c in MENTION_COLUMNS]
+        if need_idx:
+            cols.append(F.col("mention_idx").alias(f"{prefix}mention_idx"))
+        return df.select(cols)
+
+    ap = prefix_with_idx(a, "a_")
+    bp = prefix_with_idx(b, "b_")
+
+    if salt_buckets > 1:
+        # explicit skew salt: replicate one side across buckets
+        ap = ap.withColumn(
+            "_salt", F.pmod(F.xxhash64("a_stable_id"), F.lit(salt_buckets))
+        )
+        bp = bp.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        joined = ap.join(
+            bp,
+            (ap.a_url == bp.b_url) & (ap._salt == bp._salt),
+            "inner",
+        ).drop("_salt")
+    else:
+        joined = ap.join(bp, ap.a_url == bp.b_url, "inner")
+
+    cond = F.lit(True)
+    if not self_relations:
+        # a == b means the same span context (candidates.py:296-298)
+        cond = cond & (F.col("a_stable_id") != F.col("b_stable_id"))
+    if not nested_relations:
+        same_sent = F.col("a_sentence_sid") == F.col("b_sentence_sid")
+        a_in_b = (
+            (F.col("b_char_start") <= F.col("a_char_start"))
+            & (F.col("a_char_end") <= F.col("b_char_end"))
+        )
+        b_in_a = (
+            (F.col("a_char_start") <= F.col("b_char_start"))
+            & (F.col("b_char_end") <= F.col("a_char_end"))
+        )
+        cond = cond & ~(same_sent & (a_in_b | b_in_a))
+    if not symmetric_relations:
+        cond = cond & (F.col("a_mention_idx") <= F.col("b_mention_idx"))
+
+    out = joined.where(cond)
+
+    if throttler is not None:
+        if throttler_kind == "column":
+            out = out.where(throttler(out))  # Catalyst pushes this into the join
+        else:
+            # opaque Python predicate: Arrow-batched boolean filter
+            def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    keep = throttler(pdf)
+                    yield pdf[keep]
+
+            out = out.mapInPandas(fn, out.schema)
+
+    out = (
+        out.withColumn("candidate_type", F.lit(candidate_type))
+        .withColumn("split", F.lit(split))
+        .withColumn(
+            "candidate_sid",
+            F.concat_ws("~~", F.col("a_stable_id"), F.col("b_stable_id")),
+        )
+        .withColumn("url", F.col("a_url"))
+    )
+    if need_idx:
+        out = out.drop("a_mention_idx", "b_mention_idx")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Column-expression throttlers (the engine's equivalents of the reference's
+# tabular alignment helpers, utils/data_model_utils/tabular.py:31-86 — pure
+# arithmetic over the denormalized row/col ranges, no lru_cache needed).
+# ---------------------------------------------------------------------------
+def _row_aligned() -> Column:
+    return ~(
+        (F.col("a_row_start") > F.col("b_row_end"))
+        | (F.col("b_row_start") > F.col("a_row_end"))
+    )
+
+
+def _col_aligned() -> Column:
+    return ~(
+        (F.col("a_col_start") > F.col("b_col_end"))
+        | (F.col("b_col_start") > F.col("a_col_end"))
+    )
+
+
+def same_table(_df: DataFrame = None) -> Column:
+    return (
+        F.col("a_table_sid").isNotNull()
+        & (F.col("a_table_sid") == F.col("b_table_sid"))
+    )
+
+
+def same_row(_df: DataFrame = None) -> Column:
+    return same_table(_df) & _row_aligned()
+
+
+def same_col(_df: DataFrame = None) -> Column:
+    return same_table(_df) & _col_aligned()
+
+
+def tabular_aligned(_df: DataFrame = None) -> Column:
+    return same_table(_df) & (_row_aligned() | _col_aligned())
+
+
+def same_cell(_df: DataFrame = None) -> Column:
+    return (
+        F.col("a_cell_sid").isNotNull()
+        & (F.col("a_cell_sid") == F.col("b_cell_sid"))
+    )
+
+
+def same_sentence(_df: DataFrame = None) -> Column:
+    return F.col("a_sentence_sid") == F.col("b_sentence_sid")

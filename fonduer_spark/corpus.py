@@ -1,0 +1,174 @@
+"""Deterministic synthetic web-page corpus (FIXTURES.md spec).
+
+Every page is a pure **arithmetic** function of its ``doc_id`` (no RNG), so
+the expected knowledge-graph output is reconstructible in ANSI SQL — the
+DuckDB oracle recomputes the gold (subj, pred, obj) set from the same modular
+formulas while the Spark pipeline derives it by actually parsing the HTML.
+This mirrors the reference's generator-derived golden counts
+(/root/reference/tests/candidates/test_candidates.py:253-323) without its
+domain-specific datasheet fixtures.
+
+Formulas (doc i, table t, body row r):
+  n_tables(i)    = 1 + (i % 2) + (6 if i % 50 == 0 else 0)   # 2% hot docs -> skew
+  n_rows(i, t)   = 3 + ((i + t) % 3)
+  part(i, t, r)  = "PN" + str((i*17 + t*5 + r*3) % 900 + 100) + chr(65 + (i+r) % 3)
+  temp_max(...)  = 85 + ((i*3 + r*7) % 60)       # positive  -> gold triple
+  temp_min(...)  = -(40 + ((i + r) % 30))        # negative  -> labeled out
+
+The page also exercises every parse sub-operator: <span>/<br> flattening,
+<script> blacklisting, unicode-hyphen replacement, <style> class CSS merge,
+rowspan/colspan footer cells, <figure>/<figcaption>.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PRED = "stg_temp_max"
+
+
+def n_tables(i: int) -> int:
+    return 1 + (i % 2) + (6 if i % 50 == 0 else 0)
+
+
+def n_rows(i: int, t: int) -> int:
+    return 3 + ((i + t) % 3)
+
+
+def part_code(i: int, t: int, r: int) -> str:
+    return f"PN{(i * 17 + t * 5 + r * 3) % 900 + 100}{chr(65 + (i + r) % 3)}"
+
+
+def temp_max(i: int, t: int, r: int) -> int:
+    return 85 + ((i * 3 + r * 7) % 60)
+
+
+def temp_min(i: int, t: int, r: int) -> int:
+    return -(40 + ((i + r) % 30))
+
+
+def _filler(text: str, k: int = 12) -> List[str]:
+    """Deterministic lowercase digit-free filler tokens from a source text."""
+    toks = re.sub(r"[^a-z ]", "", (text or "").lower()).split()
+    toks = toks[:k] if toks else ["filler"]
+    return toks
+
+
+def render_page(i: int, source_text: str = "") -> str:
+    """Render the synthetic HTML page for doc i."""
+    toks = _filler(source_text)
+    half = max(1, len(toks) // 2)
+    p1 = " ".join(toks[:half])
+    p2 = " ".join(toks[half:]) or "filler"
+    tables = []
+    for t in range(n_tables(i)):
+        rows = [
+            "<tr><th>Part</th><th>Min Temp</th><th>Max Temp</th></tr>"
+        ]
+        for r in range(n_rows(i, t)):
+            rows.append(
+                f"<tr><td>{part_code(i, t, r)}</td>"
+                f"<td>{temp_min(i, t, r)}</td>"
+                f"<td>{temp_max(i, t, r)}</td></tr>"
+            )
+        if (i + t) % 5 == 0:  # footer row with col/rowspan: grid resolution
+            rows.append(
+                '<tr><td colspan="2">all values nominal</td>'
+                '<td rowspan="1">ok</td></tr>'
+            )
+        tables.append(
+            f'<table name="t{t}">'
+            f"<caption>Specs table {t} of doc {i}.</caption>"
+            + "".join(rows)
+            + "</table>"
+        )
+    # NOTE: the en-dash in the range sentence exercises the unicode-hyphen
+    # replacement (reference parser.py:83-85); the glued token "-40–125"
+    # matches neither the part nor the temp matcher by construction.
+    return (
+        "<html><head><title>Doc {i}</title>"
+        "<style>.hl {{ color: red; }}</style></head>"
+        "<body>"
+        '<h1 id="title-{i}">Synthetic fixture page {i}.</h1>'
+        '<p class="hl">{p1}. <span>{p2}</span>.</p>'
+        "<p>Operating range spans -40–125 degrees.<br>Use with care.</p>"
+        "<script>var x = 1;</script>"
+        "<!-- synthetic fixture -->"
+        "{tables}"
+        '<figure><img src="img{i}.png"/>'
+        "<figcaption>Figure caption {i}.</figcaption></figure>"
+        "</body></html>"
+    ).format(i=i, p1=p1, p2=p2, tables="".join(tables))
+
+
+def url_of(i: int) -> str:
+    return f"https://fixture.test/d{i:06d}"
+
+
+WEB_PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def make_web_pages(
+    spark: SparkSession, sf_dir: str, max_docs: int | None = None
+) -> DataFrame:
+    """Build the (url, warc_ts, html, text, lang) input table from the
+    driver's documents.parquet — html synthesized per doc_id, text empty at
+    ingest (filled by P1), exactly the BASELINE.json input_hint shape.
+
+    Distributed: generation happens inside mapInPandas on the executors, so
+    the corpus scales with partitions (no driver-side materialization).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if max_docs is not None:
+        docs = docs.where(F.col("doc_id") < max_docs)
+
+    epoch = pd.Timestamp("2026-01-01T00:00:00")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype(int)
+            yield pd.DataFrame({
+                "url": [url_of(i) for i in ids],
+                "warc_ts": [epoch + pd.Timedelta(seconds=int(i)) for i in ids],
+                "html": [
+                    render_page(int(i), txt).encode("utf-8")
+                    for i, txt in zip(ids, pdf["text"])
+                ],
+                "text": ["" for _ in ids],
+                "lang": ["en" for _ in ids],
+            })
+
+    return docs.mapInPandas(gen, schema=WEB_PAGES_SCHEMA)
+
+
+def gold_triples_sql(max_docs: int | None = None, table: str = "documents") -> str:
+    """DuckDB SQL reconstructing the gold distinct (subj, pred, obj) set from
+    the corpus formulas — the oracle for the end-to-end pipeline query."""
+    where = f"WHERE doc_id < {max_docs}" if max_docs is not None else ""
+    return f"""
+WITH docs AS (SELECT doc_id AS i FROM {table} {where}),
+tabs AS (
+  SELECT i, unnest(range(0, 1 + (i % 2) + CASE WHEN i % 50 = 0 THEN 6 ELSE 0 END)) AS t
+  FROM docs
+),
+cells AS (SELECT i, t, unnest(range(0, 3 + ((i + t) % 3))) AS r FROM tabs)
+SELECT DISTINCT
+  'PN' || CAST((i*17 + t*5 + r*3) % 900 + 100 AS VARCHAR)
+       || chr(CAST(65 + ((i + r) % 3) AS INTEGER)) AS subj,
+  '{PRED}' AS pred,
+  CAST(85 + ((i*3 + r*7) % 60) AS VARCHAR) AS obj
+FROM cells
+ORDER BY subj, obj
+"""

@@ -1,0 +1,128 @@
+"""P3 — mention extraction: sentences -> mentions DataFrame.
+
+The reference runs (space, matcher) per document inside a multiprocessing
+UDF (/root/reference/src/fonduer/candidates/mentions.py:527-592). Here the
+fused space+matcher generator runs inside one ``mapInPandas`` stage over the
+sentences frame — shuffle-free, Arrow-batched. Tabular/structural sentence
+coordinates are **denormalized onto each mention row**, so downstream
+throttlers and feature functions become pure column predicates instead of
+re-joins against the sentences table (critical at 100 TB: the candidate join
+then never touches the sentences table again).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .matchers import Matcher
+from .mention_spaces import MentionSpace
+from .spans import ImplicitSpan, SentenceView, Span
+
+_S, _I = T.StringType(), T.IntegerType()
+
+MENTION_FIELDS = [
+    ("mention_type", _S),
+    ("url", _S),
+    ("stable_id", _S),       # span context identity (type-independent)
+    ("sentence_sid", _S),
+    ("sentence_position", _I),
+    ("char_start", _I),
+    ("char_end", _I),
+    ("word_start", _I),
+    ("word_end", _I),
+    ("span_text", _S),
+    ("emit_seq", _I),        # per-(sentence, type) generation order
+    ("table_sid", _S),
+    ("cell_sid", _S),
+    ("table_position", _I),
+    ("cell_position", _I),
+    ("row_start", _I),
+    ("row_end", _I),
+    ("col_start", _I),
+    ("col_end", _I),
+    ("xpath", _S),
+    ("html_tag", _S),
+]
+MENTION_COLUMNS = [n for n, _ in MENTION_FIELDS]
+MENTION_SCHEMA = T.StructType([T.StructField(n, t, True) for n, t in MENTION_FIELDS])
+
+_SENTENCE_INPUT_COLS = [
+    "url", "stable_id", "position", "text", "words", "char_offsets",
+    "abs_char_offsets", "lemmas", "pos_tags", "ner_tags",
+    "table_sid", "cell_sid", "table_position", "cell_position",
+    "row_start", "row_end", "col_start", "col_end", "xpath", "html_tag",
+]
+
+
+@dataclass
+class MentionSpec:
+    """One (name, space, matcher) triple — the engine's equivalent of a
+    dynamic mention subclass (reference mention.py:66-186): a registry entry,
+    not runtime DDL."""
+
+    name: str
+    space: MentionSpace
+    matcher: Matcher
+
+
+def extract_mentions(
+    sentences: DataFrame, specs: Sequence[MentionSpec]
+) -> DataFrame:
+    """Run every (space, matcher) spec over each sentence; emit mention rows.
+
+    Longest-match-only pruning happens inside the fused generator per
+    sentence (order-sensitive — see SURVEY.md §2.4), never as a join.
+    """
+    spec_list = list(specs)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[dict] = []
+            for row in pdf.to_dict("records"):
+                sv = SentenceView(row)
+                abs0 = (row["abs_char_offsets"][0] - row["char_offsets"][0]
+                        if len(row["char_offsets"]) else 0)
+                for spec in spec_list:
+                    for seq, span in enumerate(
+                        spec.matcher.apply(spec.space.apply(sv))
+                    ):
+                        if isinstance(span, ImplicitSpan):
+                            sid = span.get_stable_id()
+                        else:
+                            sid = (
+                                f"{row['url']}::span_mention:"
+                                f"{abs0 + span.char_start}:{abs0 + span.char_end}"
+                            )
+                        out.append({
+                            "mention_type": spec.name,
+                            "url": row["url"],
+                            "stable_id": sid,
+                            "sentence_sid": row["stable_id"],
+                            "sentence_position": row["position"],
+                            "char_start": span.char_start,
+                            "char_end": span.char_end,
+                            "word_start": span.get_word_start_index(),
+                            "word_end": span.get_word_end_index(),
+                            "span_text": span.get_span(),
+                            "emit_seq": seq,
+                            "table_sid": row.get("table_sid"),
+                            "cell_sid": row.get("cell_sid"),
+                            "table_position": row.get("table_position"),
+                            "cell_position": row.get("cell_position"),
+                            "row_start": row.get("row_start"),
+                            "row_end": row.get("row_end"),
+                            "col_start": row.get("col_start"),
+                            "col_end": row.get("col_end"),
+                            "xpath": row.get("xpath"),
+                            "html_tag": row.get("html_tag"),
+                        })
+            yield pd.DataFrame(out, columns=MENTION_COLUMNS)
+
+    sel = sentences.where(sentences.ctx_type == "sentence") \
+        if "ctx_type" in sentences.columns else sentences
+    return sel.select(*_SENTENCE_INPUT_COLS).mapInPandas(fn, MENTION_SCHEMA)

@@ -1,0 +1,483 @@
+"""P1 — the parse operator: HTML web pages -> Context rows.
+
+Re-implements the semantics of the reference's ``ParserUDF``
+(/root/reference/src/fonduer/parser/parser.py:168-857) as one vectorized
+``mapInPandas`` stage over the ``web_pages`` table:
+
+- iterative DFS in recursive-DFS order (children pushed reversed; ``.text``
+  visited before children, ``.tail`` after — the visited-flag protocol of
+  parser.py:601-609, 816-852);
+- flatten tags (default span/br) + comment removal, then re-serialize the
+  cleaned DOM into ``document.text`` (parser.py:785-795) — the byte-identical
+  text-per-url invariant surface (defined against htmldom.tostring since lxml
+  is unavailable here);
+- Section/Table/Cell (occupancy-grid rowspan/colspan resolution,
+  parser.py:326-356), Figure (nested/multi-img rules, parser.py:394-470),
+  Caption, Paragraph (strip + unicode-hyphen replacements, parser.py:610-620),
+  Sentence split via a lingual parser with document-wide absolute char
+  offsets and stable_ids (parser.py:472-509);
+- structural attach: xpath / html_tag / html_attrs with inline <style> class
+  CSS merge (parser.py:510-562); tabular attach: the parent cell's
+  row/col coordinates denormalized onto each sentence (parser.py:565-577);
+- per-document error isolation: a failing doc becomes a ``parse_error`` row
+  and the pipeline continues (parser.py:236-264).
+
+Scale design: the stage is shuffle-free — one scan of web_pages, one map, one
+write. Parallelism is per input-file-split; per-document work is independent.
+Visual (PDF) parsing is out of scope for the webtext payload; visual columns
+stay null so downstream visual features no-op, matching the reference default
+``visual_parser=None`` (parser.py:87).
+"""
+
+from __future__ import annotations
+
+import re
+import traceback
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .htmldom import Element, getpath, parse_html, strip_tags, tostring
+from .lingual import LingualParser, SimpleParser
+
+# ---------------------------------------------------------------------------
+# Unified parse-output schema: one wide frame with a ctx_type discriminator.
+# (documents/sections/tables/cells/figures/captions/paragraphs/sentences are
+# views over this frame; one parse pass feeds them all.)
+# ---------------------------------------------------------------------------
+_S, _I = T.StringType(), T.IntegerType()
+_AS, _AI = T.ArrayType(T.StringType()), T.ArrayType(T.IntegerType())
+
+CONTEXT_FIELDS: List[Tuple[str, T.DataType]] = [
+    ("url", _S),
+    ("stable_id", _S),
+    ("ctx_type", _S),
+    ("position", _I),
+    ("parent_sid", _S),
+    ("name", _S),
+    ("text", _S),
+    ("row_start", _I),
+    ("row_end", _I),
+    ("col_start", _I),
+    ("col_end", _I),
+    ("fig_url", _S),
+    ("words", _AS),
+    ("char_offsets", _AI),
+    ("abs_char_offsets", _AI),
+    ("lemmas", _AS),
+    ("pos_tags", _AS),
+    ("ner_tags", _AS),
+    ("dep_parents", _AI),
+    ("dep_labels", _AS),
+    ("xpath", _S),
+    ("html_tag", _S),
+    ("html_attrs", _AS),
+    ("section_sid", _S),
+    ("paragraph_sid", _S),
+    ("table_sid", _S),
+    ("cell_sid", _S),
+    ("table_position", _I),
+    ("cell_position", _I),
+]
+CONTEXT_COLUMNS = [n for n, _ in CONTEXT_FIELDS]
+CONTEXT_SCHEMA = T.StructType(
+    [T.StructField(n, t, True) for n, t in CONTEXT_FIELDS]
+)
+
+
+@dataclass(frozen=True)
+class ParseConfig:
+    """Knobs of the parse operator — defaults match the reference Parser
+    __init__ defaults (parser.py:70-91)."""
+
+    structural: bool = True
+    blacklist: Tuple[str, ...] = ("style", "script")
+    flatten: Tuple[str, ...] = ("span", "br")
+    strip: bool = True
+    replacements: Tuple[Tuple[str, str], ...] = (
+        ("[‐‑‒–—−]", "-"),
+    )
+    tabular: bool = True
+    sentence_delim: str = "."
+
+
+def _row(url: str, **kw: Any) -> Dict[str, Any]:
+    row = dict.fromkeys(CONTEXT_COLUMNS)
+    row["url"] = url
+    row.update(kw)
+    return row
+
+
+class _Ctx(dict):
+    """A context record under construction; attribute-style access."""
+
+    __getattr__ = dict.get
+
+
+def parse_document(
+    url: str,
+    html_text: str,
+    cfg: ParseConfig,
+    lingual_parser: LingualParser,
+) -> List[Dict[str, Any]]:
+    """Parse one web page into unified context rows (see CONTEXT_FIELDS)."""
+    replacements = [(re.compile(p, flags=re.UNICODE), r) for p, r in cfg.replacements]
+    rows: List[Dict[str, Any]] = []
+
+    root = parse_html(html_text)
+    if cfg.flatten:
+        strip_tags(root, cfg.flatten)
+    doc_text = tostring(root)
+
+    doc = _Ctx(ctx_type="document", stable_id=f"{url}::document:0:0", position=0)
+    rows.append(_row(url, stable_id=doc.stable_id, ctx_type="document",
+                     position=0, text=doc_text, name=url))
+
+    counters = {"section": 0, "paragraph": 0, "figure": 0, "caption": 0, "table": 0}
+    sent_state = {"idx": 0, "abs_offset": 0}
+    tables: Dict[int, Dict[str, Any]] = {}  # per-table grid state by position
+    parent: Dict[int, _Ctx] = {}
+    context: Dict[int, _Ctx] = {}
+
+    head = root.find("head")
+    styles_text: Optional[str] = None
+    if head is not None:
+        style_el = head.find("style")
+        if style_el is not None:
+            styles_text = style_el.text
+
+    # -- sub-operators ------------------------------------------------------
+    def parse_section(node: Element) -> None:
+        # reference parser.py:666-701; extended: the root element always
+        # opens section 0 so fragment-rooted documents still parse.
+        if node.tag not in ("html", "section") and node._parent is not None:
+            return
+        ctx = _Ctx(
+            ctx_type="section",
+            stable_id=f"{url}::section:{counters['section']}",
+            position=counters["section"],
+            document=doc,
+        )
+        counters["section"] += 1
+        context[id(node)] = ctx
+        rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="section",
+                         position=ctx.position, parent_sid=doc.stable_id,
+                         name=node.get("name")))
+
+    def parse_figure(node: Element) -> None:
+        # reference parser.py:394-470
+        if node.tag not in ("img", "figure"):
+            return
+        par = parent[id(node)]
+        if node.tag == "img" and par.ctx_type == "figure":
+            return  # img inside a Figure is handled by the parent figure
+        if par.ctx_type == "section":
+            section, cell = par, None
+        elif par.ctx_type == "cell":
+            section, cell = par.table.section, par
+        else:
+            return  # nested figures unsupported, same as reference
+        fig_url = None
+        if node.tag == "img":
+            fig_url = node.get("src")
+        else:
+            imgs = [c for c in node if c.tag == "img"]
+            if len(imgs) == 0:
+                return
+            if len(imgs) > 1:
+                # multi-img figure: ignore the wrapper, process children solo
+                for c in node:
+                    if c.tag == "figcaption":
+                        c.set("visited", "true")
+                return
+            imgs[0].set("visited", "true")
+            fig_url = imgs[0].get("src")
+        ctx = _Ctx(
+            ctx_type="figure",
+            stable_id=f"{url}::figure:{counters['figure']}",
+            position=counters["figure"],
+            section=section, cell=cell, fig_url=fig_url,
+        )
+        counters["figure"] += 1
+        context[id(node)] = ctx
+        rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="figure",
+                         position=ctx.position, parent_sid=section.stable_id,
+                         cell_sid=cell.stable_id if cell else None,
+                         fig_url=fig_url, name=node.get("name")))
+
+    def parse_table(node: Element) -> None:
+        # reference parser.py:266-392 (grid: 326-356)
+        if node.tag == "table":
+            par = parent[id(node)]
+            if par.ctx_type == "cell":
+                section = par.table.section
+            elif par.ctx_type == "section":
+                section = par
+            else:
+                raise ValueError("Table is not within a Section or Cell")
+            pos = counters["table"]
+            ctx = _Ctx(
+                ctx_type="table", stable_id=f"{url}::table:{pos}",
+                position=pos, section=section,
+            )
+            counters["table"] += 1
+            context[id(node)] = ctx
+            tables[pos] = {"grid": {}, "cell_pos": 0, "row_idx": -1, "col_idx": 0}
+            rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="table",
+                             position=pos, parent_sid=section.stable_id,
+                             name=node.get("name")))
+        elif node.tag == "tr":
+            par = parent[id(node)]
+            if par.ctx_type != "table":
+                raise ValueError("Table row parent must be a Table")
+            st = tables[par.position]
+            st["col_idx"] = 0
+            st["row_idx"] += 1
+        elif node.tag in ("td", "th"):
+            par = parent[id(node)]
+            if par.ctx_type != "table":
+                raise ValueError("Cell parent must be a Table")
+            st = tables[par.position]
+            if st["row_idx"] < 0:
+                raise ValueError("Table cell encountered before a table row")
+            while st["grid"].get((st["row_idx"], st["col_idx"])):
+                st["col_idx"] += 1
+            row_start, col_start = st["row_idx"], st["col_idx"]
+            row_end, col_end = row_start, col_start
+            try:
+                row_end += int(node.get("rowspan", "1")) - 1
+            except ValueError:
+                pass
+            try:
+                col_end += int(node.get("colspan", "1")) - 1
+            except ValueError:
+                pass
+            for r in range(row_start, row_end + 1):
+                for c in range(col_start, col_end + 1):
+                    st["grid"][(r, c)] = 1
+            ctx = _Ctx(
+                ctx_type="cell",
+                stable_id=f"{url}::cell:{par.position}:{row_start}:{col_start}",
+                position=st["cell_pos"], table=par,
+                row_start=row_start, row_end=row_end,
+                col_start=col_start, col_end=col_end,
+            )
+            context[id(node)] = ctx
+            rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="cell",
+                             position=st["cell_pos"], parent_sid=par.stable_id,
+                             table_sid=par.stable_id, table_position=par.position,
+                             row_start=row_start, row_end=row_end,
+                             col_start=col_start, col_end=col_end,
+                             name=node.get("name")))
+            st["col_idx"] += 1
+            st["cell_pos"] += 1
+
+    def parse_caption(node: Element) -> None:
+        # reference parser.py:703-750
+        if node.tag not in ("caption", "figcaption"):
+            return
+        par = parent[id(node)]
+        if par.ctx_type == "table":
+            table, figure = par, None
+        elif par.ctx_type == "figure":
+            table, figure = None, par
+        else:
+            raise ValueError("Caption must be a child of Table or Figure")
+        ctx = _Ctx(
+            ctx_type="caption",
+            stable_id=f"{url}::caption:{counters['caption']}",
+            position=counters["caption"], table=table, figure=figure,
+        )
+        counters["caption"] += 1
+        context[id(node)] = ctx
+        rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="caption",
+                         position=ctx.position,
+                         parent_sid=(table or figure).stable_id,
+                         name=node.get("name")))
+
+    def structural_attrs(context_node: Element) -> Tuple[str, str, List[str]]:
+        xpath = getpath(context_node)
+        html_tag = context_node.tag
+        html_attrs = [
+            f"{k}={v}" for k, v in context_node.attrib.items() if k != "visited"
+        ]
+        # Merge inline <style> class CSS into the style attr
+        # (reference parser.py:521-562).
+        if styles_text:
+            cls = context_node.get("class")
+            if cls:
+                rgx = re.compile(
+                    r"(." + cls + r")([\n\s\r]*)\{(.*?)\}", re.DOTALL
+                )
+                m = rgx.search(styles_text)
+                if m is not None:
+                    body = (
+                        m.group(3).replace("\r", "").replace("\n", "")
+                        .replace("\t", "")
+                    )
+                    cur = next(
+                        (i for i, a in enumerate(html_attrs) if "style" in a), None
+                    )
+                    if cur is not None:
+                        html_attrs[cur] += body
+                    else:
+                        html_attrs.append("style=" + re.sub(r"\s{1,}", " ", body.strip()))
+        return xpath, html_tag, html_attrs
+
+    def emit_sentences(paragraph: _Ctx, node: Element, text: str, fld: str) -> None:
+        # reference parser.py:472-509 (_parse_sentence)
+        name = node.get("name")
+        for parts in lingual_parser.split_sentences(text):
+            abs_offset = sent_state["abs_offset"]
+            abs_char_offsets = [o + abs_offset for o in parts["char_offsets"]]
+            abs_end = abs_offset + parts["char_offsets"][-1] + len(parts["words"][-1])
+            stable_id = f"{url}::sentence:{abs_offset}:{abs_end}"
+            sent_state["abs_offset"] = abs_end
+            xpath = html_tag = None
+            html_attrs = None
+            if cfg.structural:
+                context_node = node.getparent() if fld == "tail" else node
+                if context_node is not None:
+                    xpath, html_tag, html_attrs = structural_attrs(context_node)
+            cell = paragraph.cell
+            table = cell.table if cell else None
+            rows.append(_row(
+                url, stable_id=stable_id, ctx_type="sentence",
+                position=sent_state["idx"],
+                parent_sid=paragraph.stable_id, name=name,
+                text=parts["text"], words=parts["words"],
+                char_offsets=parts["char_offsets"],
+                abs_char_offsets=abs_char_offsets,
+                lemmas=parts["lemmas"], pos_tags=parts["pos_tags"],
+                ner_tags=parts["ner_tags"], dep_parents=parts["dep_parents"],
+                dep_labels=parts["dep_labels"],
+                xpath=xpath, html_tag=html_tag, html_attrs=html_attrs,
+                section_sid=paragraph.section.stable_id if paragraph.section else None,
+                paragraph_sid=paragraph.stable_id,
+                table_sid=table.stable_id if table else None,
+                cell_sid=cell.stable_id if cell else None,
+                table_position=table.position if table else None,
+                cell_position=cell.position if cell else None,
+                row_start=cell.row_start if cell else None,
+                row_end=cell.row_end if cell else None,
+                col_start=cell.col_start if cell else None,
+                col_end=cell.col_end if cell else None,
+            ))
+            sent_state["idx"] += 1
+
+    def parse_paragraph(node: Element) -> None:
+        # reference parser.py:583-664
+        par = context.get(id(node), parent[id(node)])
+        if len(node) == 0:
+            fields = ["text", "tail"]
+        elif node.get("visited") == "text":
+            fields = ["tail"]
+            node.set("visited", "true")
+        else:
+            fields = ["text"]
+            node.set("visited", "text")
+            stack.append(node)  # will visit again later for the tail
+        for fld in fields:
+            text = node.text if fld == "text" else node.tail
+            if text and cfg.strip:
+                text = text.strip()
+            if not text:
+                continue
+            for rgx, repl in replacements:
+                text = rgx.sub(repl, text)
+            if par.ctx_type == "caption":
+                section = (par.table or par.figure).section
+                caption, cell = par, None
+            elif par.ctx_type == "cell":
+                section, caption, cell = par.table.section, None, par
+            elif par.ctx_type == "section":
+                section, caption, cell = par, None, None
+            elif par.ctx_type == "figure":
+                section, caption, cell = par.section, None, None
+            elif par.ctx_type == "table":
+                section, caption, cell = par.section, None, None
+            else:
+                raise ValueError(
+                    f"Paragraph parent must be Section/Caption/Cell/Figure/"
+                    f"Table, not {par.ctx_type}"
+                )
+            pg = _Ctx(
+                ctx_type="paragraph",
+                stable_id=f"{url}::paragraph:{counters['paragraph']}",
+                position=counters["paragraph"],
+                section=section, caption=caption, cell=cell,
+            )
+            counters["paragraph"] += 1
+            rows.append(_row(
+                url, stable_id=pg.stable_id, ctx_type="paragraph",
+                position=pg.position,
+                parent_sid=(cell or caption or section).stable_id,
+                section_sid=section.stable_id if section else None,
+                cell_sid=cell.stable_id if cell else None,
+                name=node.get("name"),
+            ))
+            emit_sentences(pg, node, text, fld)
+
+    # -- iterative DFS in recursive order (reference parser.py:816-852) -----
+    stack: List[Element] = [root]
+    parent[id(root)] = doc
+    context[id(root)] = doc
+    blacklist = set(cfg.blacklist)
+    while stack:
+        node = stack.pop()
+        if node.get("visited") == "true":
+            node.set("visited", "true")
+            continue
+        if node.get("visited") != "text":
+            parse_section(node)
+            parse_figure(node)
+            if cfg.tabular:
+                parse_table(node)
+            parse_caption(node)
+        parse_paragraph(node)
+        if node.get("visited") != "true":
+            for child in reversed(node):
+                if child.tag in blacklist:
+                    continue
+                stack.append(child)
+                parent[id(child)] = context.get(id(node), parent[id(node)])
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Spark stage
+# ---------------------------------------------------------------------------
+def parse_webpages(pages: DataFrame, cfg: Optional[ParseConfig] = None) -> DataFrame:
+    """web_pages (url, html, ...) -> unified context rows DataFrame.
+
+    Shuffle-free mapInPandas; failed documents become ``parse_error`` rows
+    (lineage) instead of failing the job (reference parser.py:236-264).
+    """
+    cfg = cfg or ParseConfig()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lp = SimpleParser(cfg.sentence_delim)
+        for pdf in batches:
+            out: List[Dict[str, Any]] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if isinstance(html, (bytes, bytearray, memoryview)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                try:
+                    out.extend(parse_document(url, html, cfg, lp))
+                except Exception:
+                    out.append(_row(
+                        url, stable_id=f"{url}::parse_error",
+                        ctx_type="parse_error",
+                        text=traceback.format_exc(limit=5),
+                    ))
+            yield pd.DataFrame(out, columns=CONTEXT_COLUMNS)
+
+    return pages.select("url", "html").mapInPandas(fn, schema=CONTEXT_SCHEMA)
+
+
+def contexts_of(parsed: DataFrame, ctx_type: str) -> DataFrame:
+    """View helper: slice the unified frame by context type."""
+    return parsed.where(parsed.ctx_type == ctx_type)

@@ -1,0 +1,102 @@
+"""The flagship end-to-end KG-construction pipeline.
+
+web_pages -> parse -> mentions -> candidates -> label -> triples, each stage
+a DataFrame transform (SURVEY.md §7.1). The relation extracted is the
+hardware-tutorial-style "(part, stg_temp_max)" binary relation over
+row-aligned table cells — the same shape as the reference's e2e test
+(/root/reference/tests/e2e/test_e2e.py) — whose gold output on the synthetic
+corpus is reconstructible in pure SQL (corpus.gold_triples_sql).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .candidates_op import extract_candidates, same_row
+from .corpus import PRED, make_web_pages
+from .labeling import with_marginals
+from .matchers import RegexMatchSpan
+from .mention_spaces import MentionNgrams
+from .mentions_op import MentionSpec, extract_mentions
+from .parse import contexts_of, parse_webpages
+from .triples import materialize_triples
+
+PART_RGX = r"PN\d{3}[A-C]"
+TEMP_RGX = r"-?\d{1,3}"
+
+
+def default_mention_specs() -> list:
+    return [
+        MentionSpec(
+            "part",
+            MentionNgrams(n_min=1, n_max=1),
+            RegexMatchSpan(rgx=PART_RGX, ignore_case=False),
+        ),
+        MentionSpec(
+            "temp",
+            MentionNgrams(n_min=1, n_max=1),
+            RegexMatchSpan(rgx=TEMP_RGX, ignore_case=False),
+        ),
+    ]
+
+
+def default_lfs() -> Dict[str, object]:
+    """Three column-expression LFs; majority vote selects positive temps.
+
+    tmax rows vote (1,1,1) -> prob 1.0; tmin rows vote (0,0,1) -> prob 1/3.
+    """
+    obj_int = F.col("b_span_text").cast("int")
+    return {
+        "lf_temp_sign": F.when(obj_int > 0, 1).otherwise(0),
+        "lf_in_range": (
+            F.when((obj_int >= 50) & (obj_int <= 200), 1)
+            .when(obj_int < 0, 0)
+            .otherwise(-1)
+        ),
+        "lf_part_format": F.when(
+            F.col("a_span_text").rlike(r"^PN\d{3}[A-C]$"), 1
+        ).otherwise(-1),
+    }
+
+
+def kg_stages(
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: Optional[int] = None,
+    salt_buckets: int = 0,
+) -> Dict[str, DataFrame]:
+    """Build every stage lazily; returns the dict of stage DataFrames."""
+    pages = make_web_pages(spark, sf_dir, max_docs)
+    parsed = parse_webpages(pages)
+    sentences = contexts_of(parsed, "sentence")
+    mentions = extract_mentions(sentences, default_mention_specs())
+    candidates = extract_candidates(
+        mentions, "part_temp", "part", "temp",
+        throttler=same_row, throttler_kind="column",
+        salt_buckets=salt_buckets,
+    )
+    scored = with_marginals(candidates, default_lfs())
+    triples = materialize_triples(scored, pred=PRED, prob_threshold=0.5)
+    return {
+        "web_pages": pages,
+        "parsed": parsed,
+        "sentences": sentences,
+        "mentions": mentions,
+        "candidates": candidates,
+        "scored": scored,
+        "triples": triples,
+    }
+
+
+def kg_triples(
+    spark: SparkSession, sf_dir: str, max_docs: Optional[int] = None
+) -> DataFrame:
+    """The flagship query: distinct (subj, pred, obj) triples, sorted."""
+    return (
+        kg_stages(spark, sf_dir, max_docs)["triples"]
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "obj")
+    )

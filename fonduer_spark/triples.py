@@ -1,0 +1,57 @@
+"""P7/P8 — entity canonicalization + triple materialization.
+
+New functionality mandated by the KG-construction north rule (not in the
+reference, whose pipeline stops at classified candidates): canonicalize
+mention surface forms into entities, then materialize
+(subj, pred, obj, prob, provenance) rows into a partitioned graph table.
+
+Round-1 canonicalization: deterministic surface normalization (upper-case,
+whitespace collapse). MinHash-LSH + connected-components canonicalization
+lives in functions/dedup.py and linking.py and can be swapped in via the
+``canonicalize`` argument.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_surface(col: Column) -> Column:
+    """Canonical entity key: trimmed, whitespace-collapsed, upper-cased."""
+    return F.upper(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def materialize_triples(
+    candidates_with_prob: DataFrame,
+    pred: str,
+    prob_threshold: float = 0.5,
+    canonicalize: Optional[Callable[[Column], Column]] = None,
+) -> DataFrame:
+    """candidates (a_* subj mention, b_* obj mention, prob) -> triples.
+
+    Output grain: one row per (subj, pred, obj) with max prob and one
+    provenance candidate_sid per source url collected into an array —
+    aggregation is a single groupBy on the canonical triple key.
+    """
+    canon = canonicalize or normalize_surface
+    return (
+        candidates_with_prob
+        .where(F.col("prob") >= prob_threshold)
+        .select(
+            canon(F.col("a_span_text")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            canon(F.col("b_span_text")).alias("obj"),
+            F.col("prob"),
+            F.col("candidate_sid"),
+            F.col("url"),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("prob").alias("prob"),
+            F.count(F.lit(1)).alias("n_provenance"),
+            F.slice(F.collect_list("candidate_sid"), 1, 16).alias("provenance"),
+        )
+    )
