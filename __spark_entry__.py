@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)       -> flagship KG pipeline (sf0.001) returning triples.
+queries()/oracle_sql() -> one entry per implemented operator family:
+  - kg_*        : the Fonduer-semantics pipeline (parse -> mentions ->
+                  candidates -> label -> triples) over the arithmetic-
+                  deterministic synthetic corpus; the oracle reconstructs
+                  expected outputs from the corpus formulas in pure SQL.
+  - dedup_*     : exact / MinHash / n-gram-Jaccard / SimHash dedup.
+  - text_*      : token counting, quality scoring, language-ID, fingerprints.
+  - sim_*       : cosine top-k (exact) + LSH-bucketed ANN (approx, rows-only).
+  - mm_*        : multimodal binary-column plumbing.
+  - rel_*       : classic relational operators (SURVEY.md §2.10 checklist):
+                  scan/filter/agg/join/window/set-op/sort-limit.
+
+Non-SQL-expressible ops (LSH-ANN with numpy hyperplanes, SimHash bit voting,
+multimodal feature stub, full LSH pair generation) intentionally omit the
+oracle -> the driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +23,574 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fonduer_spark.corpus import PRED, gold_triples_sql
+from fonduer_spark.functions import dedup as dd
+from fonduer_spark.functions import multimodal as mm
+from fonduer_spark.functions import similarity as sim
+from fonduer_spark.functions import textstats as ts
+from fonduer_spark.pipeline import kg_stages
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end KG construction on sf0.001 -> (subj, pred, obj)."""
+    return (
+        kg_stages(spark, "/root/testdata/sf0.001")["triples"]
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "obj")
+    )
 
 
+# ---------------------------------------------------------------------------
+# KG pipeline queries
+# ---------------------------------------------------------------------------
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        kg_stages(spark, sf_dir)["triples"]
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "obj")
+    )
+
+
+def q_kg_part_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = kg_stages(spark, sf_dir)["mentions"]
+    return (
+        m.where(F.col("mention_type") == "part")
+        .groupBy(F.col("span_text").alias("part"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("part")
+    )
+
+
+def q_kg_candidates_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = kg_stages(spark, sf_dir)["candidates"]
+    return (
+        c.groupBy("url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .orderBy("url")
+    )
+
+
+_KG_CELLS_CTE = """
+WITH docs AS (SELECT doc_id AS i FROM documents),
+tabs AS (
+  SELECT i, unnest(range(0, 1 + (i % 2) + CASE WHEN i % 50 = 0 THEN 6 ELSE 0 END)) AS t
+  FROM docs
+),
+cells AS (SELECT i, t, unnest(range(0, 3 + ((i + t) % 3))) AS r FROM tabs)
+"""
+
+_KG_PART_MENTIONS_SQL = _KG_CELLS_CTE + """
+SELECT part, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT 'PN' || CAST((i*17 + t*5 + r*3) % 900 + 100 AS VARCHAR)
+       || chr(CAST(65 + ((i + r) % 3) AS INTEGER)) AS part
+  FROM cells
+) GROUP BY part ORDER BY part
+"""
+
+_KG_CANDS_SQL = _KG_CELLS_CTE + """
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       CAST(2 * count(*) AS BIGINT) AS n_candidates
+FROM cells GROUP BY i ORDER BY url
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicates(_docs(spark, sf_dir)).select(
+        "text_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dd.minhash_signature(F.col("text"), k=4, shingle_n=3)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        sig.getItem(0).alias("sig0"),
+        sig.getItem(1).alias("sig1"),
+    )
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: LSH banding + bucket pair join (non-SQL by design)
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), k=16, bands=8)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), shingle_n=2, threshold=0.02, max_df=1000
+    ).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "jaccard",
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: 64-bit SimHash (bit voting in a pandas UDF)
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+_DD_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_DD_SHINGLES2 = f"""
+CASE WHEN len({_DD_TOKS}) >= 2 THEN
+  list_transform(range(0, len({_DD_TOKS}) - 1),
+                 i -> array_to_string(({_DD_TOKS})[i+1:i+2], ' '))
+ELSE [array_to_string({_DD_TOKS}, ' ')] END
+"""
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+_DEDUP_MINHASH_SIG_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len({_DD_TOKS}) >= 3 THEN
+      list_transform(range(0, len({_DD_TOKS}) - 2),
+                     i -> array_to_string(({_DD_TOKS})[i+1:i+3], ' '))
+    ELSE [array_to_string({_DD_TOKS}, ' ')] END AS shingles
+  FROM documents
+)
+SELECT doc_id,
+  list_min(list_transform(shingles, s -> md5(s || '#0'))) AS sig0,
+  list_min(list_transform(shingles, s -> md5(s || '#1'))) AS sig1
+FROM sh ORDER BY doc_id
+"""
+
+_DEDUP_JACCARD_SQL = f"""
+WITH ds AS (
+  SELECT doc_id AS doc, list_distinct({_DD_SHINGLES2}) AS sh FROM documents
+),
+sizes AS (SELECT doc, len(sh) AS n_sh FROM ds),
+ex0 AS (SELECT doc, unnest(sh) AS s FROM ds),
+hot AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 1000),
+ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+common AS (
+  SELECT x.doc AS a, y.doc AS b, CAST(count(*) AS BIGINT) AS common
+  FROM ex x JOIN ex y USING (s) WHERE x.doc < y.doc GROUP BY x.doc, y.doc
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = a
+JOIN sizes sb ON sb.doc = b
+WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.02
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis queries
+# ---------------------------------------------------------------------------
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = ts.quality_stats(_docs(spark, sf_dir))
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "mean_token_len", "punct_ratio", "stopword_ratio", "digit_ratio",
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_LTOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _marker_sql(markers) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_LTOKS}, x -> x IN ({lst})))"
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS BIGINT)
+    AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+_SW = ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS)
+_QUALITY_SQL = f"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        ELSE length(regexp_replace(text, '\\s+', '', 'g')) / len({_TOKS}) END, 6)
+    AS mean_token_len,
+  round(CASE WHEN length(text) = 0 THEN 0.0
+        ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / length(text) END, 6)
+    AS punct_ratio,
+  round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        ELSE len(list_filter({_LTOKS}, x -> x IN ({_SW}))) / len({_TOKS}) END, 6)
+    AS stopword_ratio,
+  round(CASE WHEN length(text) = 0 THEN 0.0
+        ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) END, 6)
+    AS digit_ratio
+FROM documents ORDER BY doc_id
+"""
+
+_LANG_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+    {_marker_sql(ts.LANG_MARKERS['en'])} AS s_en,
+    {_marker_sql(ts.LANG_MARKERS['es'])} AS s_es,
+    {_marker_sql(ts.LANG_MARKERS['de'])} AS s_de,
+    {_marker_sql(ts.LANG_MARKERS['fr'])} AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+       WHEN s_fr > 0 THEN 'fr'
+       ELSE 'und' END AS lang_guess
+FROM s ORDER BY doc_id
+"""
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity queries
+# ---------------------------------------------------------------------------
+_QUERY_IDS = list(range(8))
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: numpy hyperplanes are not SQL-expressible
+    return sim.lsh_bucketed_ann(_emb(spark, sf_dir), _QUERY_IDS, dim=64, k=5)
+
+
+_SIM_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings
+           WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, c.cv) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(c.cv, c.cv))), 6) AS score
+  FROM q, c WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal queries
+# ---------------------------------------------------------------------------
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.media_from_docs(_docs(spark, sf_dir))
+    return media.select(
+        "media_id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the decode stub is deterministic-fake (libs absent)
+    media = mm.media_from_docs(_docs(spark, sf_dir))
+    return mm.extract_features(media, decoder="fake")
+
+
+_MM_META_SQL = """
+SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# classic relational operators (§2.10 checklist)
+# ---------------------------------------------------------------------------
+def q_rel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_REL_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+"""
+
+
+def q_rel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_REL_JOIN_SQL = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_rel_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+_REL_FILTER_AGG_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_rel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_REL_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_rel_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.intersect(urgent).orderBy("o_custkey")
+
+
+_REL_SETOP_SQL = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY o_custkey
+"""
+
+
+def q_rel_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_REL_EVENTS_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_rel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+        .limit(20)
+    )
+
+
+_REL_TOPK_SQL = """
+SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+"""
+
+
+def q_rel_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_REL_SEMIJOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG pipeline (Fonduer semantics)
+        "kg_triples": q_kg_triples,
+        "kg_part_mentions": q_kg_part_mentions,
+        "kg_candidates_per_doc": q_kg_candidates_per_doc,
+        # dedup family
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        # text analysis family
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        # similarity family
+        "sim_topk": q_sim_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        # multimodal family
+        "mm_meta": q_mm_meta,
+        "mm_features": q_mm_features,
+        # classic relational operators
+        "rel_agg": q_rel_agg,
+        "rel_join": q_rel_join,
+        "rel_filter_agg": q_rel_filter_agg,
+        "rel_window": q_rel_window,
+        "rel_setop": q_rel_setop,
+        "rel_events_window": q_rel_events_window,
+        "rel_topk": q_rel_topk,
+        "rel_semijoin": q_rel_semijoin,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_triples": gold_triples_sql(),
+        "kg_part_mentions": _KG_PART_MENTIONS_SQL,
+        "kg_candidates_per_doc": _KG_CANDS_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_minhash_sig": _DEDUP_MINHASH_SIG_SQL,
+        "dedup_jaccard": _DEDUP_JACCARD_SQL,
+        "text_token_count": _TOKEN_COUNT_SQL,
+        "text_quality": _QUALITY_SQL,
+        "text_lang_id": _LANG_SQL,
+        "text_fingerprint": _FINGERPRINT_SQL,
+        "sim_topk": _SIM_TOPK_SQL,
+        "mm_meta": _MM_META_SQL,
+        "rel_agg": _REL_AGG_SQL,
+        "rel_join": _REL_JOIN_SQL,
+        "rel_filter_agg": _REL_FILTER_AGG_SQL,
+        "rel_window": _REL_WINDOW_SQL,
+        "rel_setop": _REL_SETOP_SQL,
+        "rel_events_window": _REL_EVENTS_SQL,
+        "rel_topk": _REL_TOPK_SQL,
+        "rel_semijoin": _REL_SEMIJOIN_SQL,
+        # rows-only (non-SQL-expressible by design):
+        # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh, mm_features
+    }

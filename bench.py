@@ -1,0 +1,173 @@
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...,
+   "docs_per_sec": ...}
+
+Scaling mode (the north_rule two-cluster-size evidence, run in-sandbox as
+two parallelism levels): ``python bench.py --scaling`` executes the KG
+pipeline at local[8] and local[32] in separate processes on identical input
+and writes BENCH/BASELINE.md with throughput at both plus scaling
+efficiency eff = (thr_32 / thr_8) / 4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# scaling mode inflates the corpus so compute dominates fixed overheads
+SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_kg(spark, sf_dir: str, measured_runs: int = 3, replicate: int = 1):
+    """Full KG pipeline; returns (n_triples, n_docs, best_wall_sec).
+
+    One warmup run (JVM codegen + Python-worker pool spin-up are one-time
+    per-process costs a long-lived cluster amortizes away), then the best of
+    ``measured_runs`` steady-state executions.
+    """
+    from fonduer_spark.pipeline import kg_stages
+
+    def once():
+        t0 = time.time()
+        stages = kg_stages(spark, sf_dir, replicate=replicate)
+        n = stages["triples"].count()
+        wall = time.time() - t0
+        stages["mentions"].unpersist()
+        return n, wall
+
+    once()  # warmup
+    walls = []
+    n_triples = 0
+    for _ in range(measured_runs):
+        n_triples, w = once()
+        walls.append(w)
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count() * replicate
+    )
+    return n_triples, n_docs, min(walls)
+
+
+def main_bench(cores: int, sf_dir: str) -> dict:
+    from fonduer_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark(cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict = {}
+
+    # headline 1: the end-to-end KG pipeline (docs -> triples)
+    n_triples, n_docs, wall = run_kg(spark, sf_dir)
+    timings["kg_triples"] = round(wall, 3)
+
+    # headline 2-6: one representative per operator family
+    heads = ["dedup_minhash_pairs", "dedup_jaccard", "sim_topk",
+             "text_quality", "rel_agg", "rel_join"]
+    qs = E.queries()
+    for name in heads:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "kg_pipeline_and_ops_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "cores": cores,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "docs_per_sec": round(n_docs / wall, 2),
+        "triples_per_sec": round(n_triples / wall, 2),
+    }
+
+
+def main_kg_only(cores: int, sf_dir: str) -> dict:
+    from fonduer_spark.session import get_spark
+
+    spark = get_spark(cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/parquet footer caches out of the measurement
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_triples, n_docs, wall = run_kg(
+        spark, sf_dir, measured_runs=3, replicate=SCALING_REPLICATE
+    )
+    return {
+        "cores": cores,
+        "sf": _sf_of(sf_dir),
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 2),
+        "triples_per_sec": round(n_triples / wall, 2),
+    }
+
+
+def main_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> None:
+    results = {}
+    for cores in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, __file__, "--kg-only", "--cores", str(cores),
+             "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+    r_lo, r_hi = results[lo], results[hi]
+    eff = (r_hi["triples_per_sec"] / r_lo["triples_per_sec"]) / (hi / lo)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — KG pipeline throughput at two parallelism levels\n\n"
+            "Sandbox evidence for the north_rule two-cluster-size scaling "
+            f"criterion: identical input ({sf_dir}), same job, "
+            f"local[{lo}] vs local[{hi}].\n\n"
+            "| cores | docs | triples | wall (s) | docs/s | triples/s |\n"
+            "|---|---|---|---|---|---|\n"
+            + "".join(
+                f"| {c} | {r['n_docs']} | {r['n_triples']} | {r['wall_sec']}"
+                f" | {r['docs_per_sec']} | {r['triples_per_sec']} |\n"
+                for c, r in results.items()
+            )
+            + f"\nScaling efficiency ({lo}->{hi} cores, x{hi // lo}): "
+              f"**{eff:.3f}** (target >= 0.8)\n"
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3), "runs": results}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--kg-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+    if args.scaling:
+        main_scaling(args.sf_dir)
+    elif args.kg_only:
+        print(json.dumps(main_kg_only(args.cores, args.sf_dir)))
+    else:
+        print(json.dumps(main_bench(args.cores, args.sf_dir)))

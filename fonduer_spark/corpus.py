@@ -120,8 +120,44 @@ WEB_PAGES_SCHEMA = T.StructType([
 ])
 
 
+def load_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: int | None = None,
+    replicate: int = 1,
+) -> DataFrame:
+    """(doc_id, text) source frame, url-hash repartitioned (see below)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if max_docs is not None:
+        docs = docs.where(F.col("doc_id") < max_docs)
+    # Explicit url-hash-equivalent repartitioning (north_rule): the driver's
+    # parquet is a single file -> 1 split; spread the per-doc parse work
+    # across the cluster. doc_id is the url key (url = url_of(doc_id)).
+    # 4x tasks per core: bounds the cost of any one straggling task and lets
+    # the scheduler rebalance (cheap here; at 100 TB, partition count comes
+    # from target split size instead). Repartition BEFORE the replicate
+    # explode so the inflation itself is distributed, not a serial prefix.
+    n_parts = max(spark.sparkContext.defaultParallelism * 4, 16)
+    docs = docs.repartition(n_parts, "doc_id")
+    if replicate > 1:
+        # Bench-scale corpus inflation: distinct doc indexes per replica so
+        # every page is unique (gold formulas only hold for replica 0 —
+        # replication is for throughput measurement, not oracle checks).
+        docs = docs.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("_rep"),
+        ).select(
+            (F.col("doc_id") + F.col("_rep") * F.lit(10_000_000)).alias("doc_id"),
+            "text",
+        )
+    return docs
+
+
 def make_web_pages(
-    spark: SparkSession, sf_dir: str, max_docs: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: int | None = None,
+    replicate: int = 1,
 ) -> DataFrame:
     """Build the (url, warc_ts, html, text, lang) input table from the
     driver's documents.parquet — html synthesized per doc_id, text empty at
@@ -130,9 +166,7 @@ def make_web_pages(
     Distributed: generation happens inside mapInPandas on the executors, so
     the corpus scales with partitions (no driver-side materialization).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    if max_docs is not None:
-        docs = docs.where(F.col("doc_id") < max_docs)
+    docs = load_docs(spark, sf_dir, max_docs, replicate)
 
     epoch = pd.Timestamp("2026-01-01T00:00:00")
 

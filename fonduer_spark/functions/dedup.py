@@ -1,0 +1,218 @@
+"""Deduplication operators over a documents table.
+
+All hot paths are JVM-side column expressions (whole-stage codegen):
+- exact dedup: hash-groupBy;
+- token-shingle generation: F.transform over F.sequence (no explode needed
+  for per-row signatures);
+- MinHash: per-row array_min over md5(shingle||seed) — md5 is deterministic
+  and identical across engines, so signatures are oracle-checkable;
+- LSH banding: band-key groupBy then within-bucket pair join;
+- n-gram Jaccard: relational shingle self-join (common / (|A|+|B|-common));
+- SimHash: vectorized pandas UDF (bit-twiddling is the genuine Python path).
+
+Scale notes: the shingle self-join for Jaccard shuffles on shingle — at
+100 TB that is the classic hot-shingle skew join, so stop-shingle filtering
+(drop shingles with document frequency above ``max_df``) bounds the blowup;
+MinHash-LSH replaces the quadratic join with bucket-local pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalized_tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens of a text column."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Token n-gram shingles as an array column (JVM-side, no explode)."""
+    toks = normalized_tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup groups: md5(text) -> n_docs, canonical (min) doc id.
+
+    One hash-groupBy; at scale the md5 key is uniform so no skew.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
+    """k-wide MinHash signature: per seed, min over md5(shingle || seed).
+
+    String-min over hex md5 is a valid min-hash family; md5 exists with
+    identical output in Spark and DuckDB, keeping the signature
+    oracle-checkable.
+    """
+    sh = shingles(text, shingle_n)
+    return F.array(*[
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
+        )
+        for i in range(k)
+    ])
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH.
+
+    signature -> ``bands`` band keys -> groupBy band key -> within-bucket
+    pairs (a < b), distinct. The quadratic blowup is bounded per bucket; a
+    bucket whose size explodes indicates boilerplate text — cap via
+    ``spark.sql.adaptive`` skew splitting at scale.
+    """
+    rows = k // bands
+    sig = minhash_signature(F.col(text_col), k, shingle_n)
+    with_bands = docs.select(
+        F.col(id_col).alias("doc"),
+        *[
+            F.concat_ws("|", F.lit(str(b)), F.slice(sig, b * rows + 1, rows))
+            .alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    )
+    pairs = None
+    for b in range(bands):
+        a = with_bands.select(F.col("doc").alias("a"), F.col(f"band_{b}").alias("bk"))
+        bb = with_bands.select(F.col("doc").alias("b"), F.col(f"band_{b}").alias("bk"))
+        p = a.join(bb, "bk").where(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity >= threshold, relationally.
+
+    explode(distinct shingles) -> drop hot shingles (df > max_df: stop-
+    shingle skew guard) -> self-join on shingle -> |A∩B| -> Jaccard.
+    """
+    ds = docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = ds.select("doc", F.size("sh").alias("n_sh"))
+    ex = ds.select("doc", F.explode("sh").alias("s"))
+    hot = (
+        ex.groupBy("s").count().where(F.col("count") > max_df).select("s")
+    )
+    ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    common = (
+        ex.alias("x")
+        .join(ex.alias("y"), "s")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc": "a", "n_sh": "na"}), "a")
+        .join(sizes.withColumnsRenamed({"doc": "b", "n_sh": "nb"}), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+_SIMHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("simhash", T.LongType(), True),
+])
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document (vectorized pandas UDF — bit voting is the
+    genuinely Python-shaped step; Arrow-batched, one pass, no shuffle)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mask = (1 << bits) - 1
+        for pdf in batches:
+            out: List[dict] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                votes = [0] * bits
+                for tok in str(text).lower().split():
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"
+                    )
+                    for i in range(bits):
+                        votes[i] += 1 if (h >> i) & 1 else -1
+                sh = 0
+                for i in range(bits):
+                    if votes[i] > 0:
+                        sh |= 1 << i
+                # store as signed 64-bit
+                sh &= mask
+                if sh >= 1 << 63:
+                    sh -= 1 << 64
+                out.append({"doc_id": int(did), "simhash": sh})
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    return docs.select(id_col, text_col).mapInPandas(fn, _SIMHASH_SCHEMA)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force baseline; swap the
+    self-join for similarity.lsh_bucketed_ann buckets at scale)."""
+    from .similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

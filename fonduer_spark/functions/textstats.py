@@ -1,0 +1,101 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All JVM-side column expressions (codegen'd), each
+with an exact DuckDB-SQL equivalent so the driver's oracle can check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword heuristic language ID
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, 0).otherwise(F.size(tokens(text)))
+
+
+def _marker_hits(text: Column, markers) -> Column:
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language guess: argmax of per-language marker hits,
+    'und' (undetermined) when no marker fires. Deterministic tie-break by
+    language-name order via greatest-first comparison."""
+    scores = [(lang, _marker_hits(text, ms)) for lang, ms in LANG_MARKERS.items()]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, sc in scores:  # later languages win only strictly-greater
+        take = sc > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, sc).otherwise(best_score)
+    return best
+
+
+def quality_stats(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics (all oracle-checkable):
+
+    n_tokens, n_chars, mean_token_len, punct_ratio (punctuation chars /
+    chars), stopword_ratio (EN stopword tokens / tokens), digit_ratio.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_toks = token_count(t)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(F.split(F.trim(F.lower(t)), r"\s+"),
+                             lambda x: F.array_contains(sw, x)))
+    return docs.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(
+            F.when(n_toks > 0,
+                   F.length(F.regexp_replace(t, r"\s+", "")) / n_toks)
+            .otherwise(F.lit(0.0)), 6
+        ).alias("mean_token_len"),
+        F.round(F.when(n_chars > 0, punct / n_chars).otherwise(0.0), 6)
+        .alias("punct_ratio"),
+        F.round(F.when(n_toks > 0, n_stop / n_toks).otherwise(0.0), 6)
+        .alias("stopword_ratio"),
+        F.round(F.when(n_chars > 0, digits / n_chars).otherwise(0.0), 6)
+        .alias("digit_ratio"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the whitespace- and
+    case-normalized text (matches DuckDB md5 byte-for-byte)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def rolling_fingerprints(text: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint set: md5 of each token w-gram, keep the
+    per-position minimum over a window of shingle hashes (array column)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    return F.array_distinct(grams)

@@ -122,19 +122,28 @@ def parse_document(
     html_text: str,
     cfg: ParseConfig,
     lingual_parser: LingualParser,
+    emit_types: Optional[set] = None,
 ) -> List[Dict[str, Any]]:
-    """Parse one web page into unified context rows (see CONTEXT_FIELDS)."""
+    """Parse one web page into unified context rows (see CONTEXT_FIELDS).
+
+    ``emit_types``: when given, only rows of these ctx_types are emitted
+    (the parse still builds the full context graph internally — this is
+    output projection, the UDF-level analogue of column pruning). The
+    document re-serialization (the byte-identical text invariant surface)
+    is skipped unless 'document' is requested.
+    """
     replacements = [(re.compile(p, flags=re.UNICODE), r) for p, r in cfg.replacements]
     rows: List[Dict[str, Any]] = []
+    want = emit_types.__contains__ if emit_types is not None else (lambda t: True)
 
     root = parse_html(html_text)
     if cfg.flatten:
         strip_tags(root, cfg.flatten)
-    doc_text = tostring(root)
 
     doc = _Ctx(ctx_type="document", stable_id=f"{url}::document:0:0", position=0)
-    rows.append(_row(url, stable_id=doc.stable_id, ctx_type="document",
-                     position=0, text=doc_text, name=url))
+    if want("document"):
+        rows.append(_row(url, stable_id=doc.stable_id, ctx_type="document",
+                         position=0, text=tostring(root), name=url))
 
     counters = {"section": 0, "paragraph": 0, "figure": 0, "caption": 0, "table": 0}
     sent_state = {"idx": 0, "abs_offset": 0}
@@ -163,9 +172,10 @@ def parse_document(
         )
         counters["section"] += 1
         context[id(node)] = ctx
-        rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="section",
-                         position=ctx.position, parent_sid=doc.stable_id,
-                         name=node.get("name")))
+        if want("section"):
+            rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="section",
+                             position=ctx.position, parent_sid=doc.stable_id,
+                             name=node.get("name")))
 
     def parse_figure(node: Element) -> None:
         # reference parser.py:394-470
@@ -203,10 +213,11 @@ def parse_document(
         )
         counters["figure"] += 1
         context[id(node)] = ctx
-        rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="figure",
-                         position=ctx.position, parent_sid=section.stable_id,
-                         cell_sid=cell.stable_id if cell else None,
-                         fig_url=fig_url, name=node.get("name")))
+        if want("figure"):
+            rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="figure",
+                             position=ctx.position, parent_sid=section.stable_id,
+                             cell_sid=cell.stable_id if cell else None,
+                             fig_url=fig_url, name=node.get("name")))
 
     def parse_table(node: Element) -> None:
         # reference parser.py:266-392 (grid: 326-356)
@@ -226,9 +237,10 @@ def parse_document(
             counters["table"] += 1
             context[id(node)] = ctx
             tables[pos] = {"grid": {}, "cell_pos": 0, "row_idx": -1, "col_idx": 0}
-            rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="table",
-                             position=pos, parent_sid=section.stable_id,
-                             name=node.get("name")))
+            if want("table"):
+                rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="table",
+                                 position=pos, parent_sid=section.stable_id,
+                                 name=node.get("name")))
         elif node.tag == "tr":
             par = parent[id(node)]
             if par.ctx_type != "table":
@@ -266,12 +278,14 @@ def parse_document(
                 col_start=col_start, col_end=col_end,
             )
             context[id(node)] = ctx
-            rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="cell",
-                             position=st["cell_pos"], parent_sid=par.stable_id,
-                             table_sid=par.stable_id, table_position=par.position,
-                             row_start=row_start, row_end=row_end,
-                             col_start=col_start, col_end=col_end,
-                             name=node.get("name")))
+            if want("cell"):
+                rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="cell",
+                                 position=st["cell_pos"], parent_sid=par.stable_id,
+                                 table_sid=par.stable_id,
+                                 table_position=par.position,
+                                 row_start=row_start, row_end=row_end,
+                                 col_start=col_start, col_end=col_end,
+                                 name=node.get("name")))
             st["col_idx"] += 1
             st["cell_pos"] += 1
 
@@ -293,13 +307,19 @@ def parse_document(
         )
         counters["caption"] += 1
         context[id(node)] = ctx
-        rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="caption",
-                         position=ctx.position,
-                         parent_sid=(table or figure).stable_id,
-                         name=node.get("name")))
+        if want("caption"):
+            rows.append(_row(url, stable_id=ctx.stable_id, ctx_type="caption",
+                             position=ctx.position,
+                             parent_sid=(table or figure).stable_id,
+                             name=node.get("name")))
+
+    xpath_cache: Dict[int, str] = {}
 
     def structural_attrs(context_node: Element) -> Tuple[str, str, List[str]]:
-        xpath = getpath(context_node)
+        xpath = xpath_cache.get(id(context_node))
+        if xpath is None:
+            xpath = getpath(context_node)
+            xpath_cache[id(context_node)] = xpath
         html_tag = context_node.tag
         html_attrs = [
             f"{k}={v}" for k, v in context_node.attrib.items() if k != "visited"
@@ -336,6 +356,9 @@ def parse_document(
             abs_end = abs_offset + parts["char_offsets"][-1] + len(parts["words"][-1])
             stable_id = f"{url}::sentence:{abs_offset}:{abs_end}"
             sent_state["abs_offset"] = abs_end
+            if not want("sentence"):
+                sent_state["idx"] += 1
+                continue
             xpath = html_tag = None
             html_attrs = None
             if cfg.structural:
@@ -411,14 +434,15 @@ def parse_document(
                 section=section, caption=caption, cell=cell,
             )
             counters["paragraph"] += 1
-            rows.append(_row(
-                url, stable_id=pg.stable_id, ctx_type="paragraph",
-                position=pg.position,
-                parent_sid=(cell or caption or section).stable_id,
-                section_sid=section.stable_id if section else None,
-                cell_sid=cell.stable_id if cell else None,
-                name=node.get("name"),
-            ))
+            if want("paragraph"):
+                rows.append(_row(
+                    url, stable_id=pg.stable_id, ctx_type="paragraph",
+                    position=pg.position,
+                    parent_sid=(cell or caption or section).stable_id,
+                    section_sid=section.stable_id if section else None,
+                    cell_sid=cell.stable_id if cell else None,
+                    name=node.get("name"),
+                ))
             emit_sentences(pg, node, text, fld)
 
     # -- iterative DFS in recursive order (reference parser.py:816-852) -----

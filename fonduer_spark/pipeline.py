@@ -16,11 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .candidates_op import extract_candidates, same_row
-from .corpus import PRED, make_web_pages
+from .corpus import PRED, load_docs, make_web_pages
 from .labeling import with_marginals
 from .matchers import RegexMatchSpan
 from .mention_spaces import MentionNgrams
-from .mentions_op import MentionSpec, extract_mentions
+from .mentions_op import MentionSpec, extract_mentions, extract_mentions_fused
 from .parse import contexts_of, parse_webpages
 from .triples import materialize_triples
 
@@ -67,12 +67,22 @@ def kg_stages(
     sf_dir: str,
     max_docs: Optional[int] = None,
     salt_buckets: int = 0,
+    replicate: int = 1,
 ) -> Dict[str, DataFrame]:
     """Build every stage lazily; returns the dict of stage DataFrames."""
-    pages = make_web_pages(spark, sf_dir, max_docs)
+    pages = make_web_pages(spark, sf_dir, max_docs, replicate=replicate)
     parsed = parse_webpages(pages)
     sentences = contexts_of(parsed, "sentence")
-    mentions = extract_mentions(sentences, default_mention_specs())
+    # Hot path: render+parse+mention-extract fused into ONE Python stage
+    # (one worker per task, no Arrow round-trip of the 25x-larger context
+    # rows). The modular pages/parsed/sentences frames above are lazy — they
+    # only compute when a caller uses them.
+    docs = load_docs(spark, sf_dir, max_docs, replicate)
+    # Persist mentions: the candidate self-join consumes this frame twice
+    # (slot A and slot B); without persistence the whole parse lineage would
+    # execute twice. At cluster scale this is the per-stage snapshot write
+    # (SURVEY.md §7.1); locally MEMORY_AND_DISK serves the same role.
+    mentions = extract_mentions_fused(docs, default_mention_specs()).persist()
     candidates = extract_candidates(
         mentions, "part_temp", "part", "temp",
         throttler=same_row, throttler_kind="column",

@@ -35,5 +35,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
+        # Straggler mitigation: this sandbox's vCPUs stall unpredictably
+        # (hypervisor jitter); on a real cluster the same setting covers slow
+        # nodes. Speculation re-launches the slowest tasks.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "1s")
+        .config("spark.speculation.multiplier", "2")
+        .config("spark.speculation.quantile", "0.75")
         .getOrCreate()
     )
