@@ -53,7 +53,13 @@ class Ngrams(MentionSpace):
                     and self.split_rgx is not None
                     and end - start > 0
                 ):
-                    # re-split the unigram on split_tokens (mentions.py:100-125)
+                    # Re-split the unigram on split_tokens.
+                    # DELIBERATE DEVIATION from reference mentions.py:100-125,
+                    # which passes token-relative indices straight to the span
+                    # constructor — sub-spans are only offset-correct there
+                    # when the token starts the sentence. We anchor at the
+                    # token's sentence offset so every sub-span's text and
+                    # stable_id are correct.
                     text = sentence.text[start - offsets[0]: end - offsets[0] + 1]
                     start_idxs = [0]
                     end_idxs = []
@@ -64,7 +70,7 @@ class Ngrams(MentionSpace):
                     for si in start_idxs:
                         for ei in end_idxs:
                             if si < ei:
-                                ts = Span(sentence, si, ei - 1)
+                                ts = Span(sentence, start + si, start + ei - 1)
                                 if ts not in seen and ts.get_span():
                                     seen.add(ts)
                                     yield ts

@@ -1,0 +1,128 @@
+"""Candidate-join semantics: self/nested/symmetric toggles + throttlers
+(reference tests/candidates/test_candidates.py:293-323 analogues, with
+golden counts derived by construction)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fonduer_spark.candidates_op import (
+    extract_candidates,
+    same_cell,
+    same_row,
+    same_table,
+)
+from fonduer_spark.mentions_op import MENTION_COLUMNS, MENTION_SCHEMA
+
+
+def mention(mtype, url, sid_i, sent_i, cs, ce, text, emit, table=None,
+            row=None, col=None, cell=None):
+    base = dict.fromkeys(MENTION_COLUMNS)
+    base.update(
+        mention_type=mtype, url=url,
+        stable_id=f"{url}::span_mention:{sid_i}:{sid_i + (ce - cs)}",
+        sentence_sid=f"{url}::sentence:{sent_i}", sentence_position=sent_i,
+        char_start=cs, char_end=ce, word_start=0, word_end=0,
+        span_text=text, emit_seq=emit,
+        table_sid=table, cell_sid=cell,
+        row_start=row, row_end=row, col_start=col, col_end=col,
+    )
+    return base
+
+
+@pytest.fixture(scope="module")
+def mentions_df(spark):
+    # doc d1: sentence 0 has overlapping spans (nested); a table with two
+    # rows. Two mention types A and B.
+    rows = [
+        # same sentence, B nested inside A's range
+        mention("A", "d1", 0, 0, 0, 9, "wide span", 0),
+        mention("B", "d1", 0, 0, 0, 3, "wide", 0),       # nested in A
+        mention("B", "d1", 5, 0, 5, 8, "span", 1),       # nested in A
+        # identical span context for A and B (self-relation case)
+        mention("A", "d1", 20, 1, 0, 4, "exact", 0),
+        mention("B", "d1", 20, 1, 0, 4, "exact", 0),
+        # table mentions: A in row 1, B in row 1 and row 2 of table t0
+        mention("A", "d1", 30, 2, 0, 5, "PN100A", 0,
+                table="d1::table:0", row=1, col=0, cell="d1::cell:0:1:0"),
+        mention("B", "d1", 40, 3, 0, 1, "85", 0,
+                table="d1::table:0", row=1, col=1, cell="d1::cell:0:1:1"),
+        mention("B", "d1", 50, 4, 0, 1, "92", 0,
+                table="d1::table:0", row=2, col=1, cell="d1::cell:0:2:1"),
+        # another doc d2: one A, one B -> no cross-doc candidates
+        mention("A", "d2", 0, 0, 0, 5, "PN200B", 0),
+        mention("B", "d2", 0, 1, 0, 1, "77", 0),
+    ]
+    return spark.createDataFrame(
+        [tuple(r[c] for c in MENTION_COLUMNS) for r in rows], MENTION_SCHEMA
+    )
+
+
+def n(df):
+    return df.count()
+
+
+def test_defaults_drop_self_and_nested(spark, mentions_df):
+    # default: self=False, nested=False, symmetric=True
+    cands = extract_candidates(mentions_df, "AB", "A", "B")
+    # d1: A-mentions = {wide span, exact, PN100A}; B = {wide, span, exact, 85, 92}
+    # products per doc d1: 3*5 = 15; minus nested (wide span x wide, wide
+    # span x span) = 2; minus self (exact x exact) = 1 -> 12
+    # d2: 1*1 = 1 -> total 13
+    assert n(cands) == 13
+
+
+def test_allow_self_and_nested(spark, mentions_df):
+    cands = extract_candidates(
+        mentions_df, "AB", "A", "B",
+        self_relations=True, nested_relations=True,
+    )
+    assert n(cands) == 16
+
+
+def test_symmetric_filter(spark, mentions_df):
+    # symmetric=False keeps only pairs with a_idx <= b_idx
+    base = extract_candidates(mentions_df, "AA", "A", "A",
+                              self_relations=True)
+    sym = extract_candidates(mentions_df, "AA", "A", "A",
+                             self_relations=True, symmetric_relations=False)
+    # Diagonal (a,a) pairs survive the self filter (self_relations=True) but
+    # are dropped by the default nested filter (equal spans contain each
+    # other) — matching the reference order of checks (candidates.py:290-306).
+    # d1: 9 ordered pairs - 3 diagonals = 6; d2: 1 - 1 = 0.
+    assert n(base) == 6
+    # symmetric=False keeps i <= j: d1 6 - 3 diagonals = 3; d2 0.
+    assert n(sym) == 3
+
+
+def test_same_row_throttler(spark, mentions_df):
+    cands = extract_candidates(mentions_df, "AB", "A", "B",
+                               throttler=same_row)
+    got = {(r.a_span_text, r.b_span_text) for r in cands.collect()}
+    assert got == {("PN100A", "85")}
+
+
+def test_same_table_and_cell_throttlers(spark, mentions_df):
+    ct = extract_candidates(mentions_df, "AB", "A", "B", throttler=same_table)
+    assert {(r.a_span_text, r.b_span_text) for r in ct.collect()} == {
+        ("PN100A", "85"), ("PN100A", "92")
+    }
+    cc = extract_candidates(mentions_df, "AB", "A", "B", throttler=same_cell)
+    assert n(cc) == 0
+
+
+def test_pandas_throttler(spark, mentions_df):
+    thr = lambda pdf: pdf["b_span_text"].str.len() == 2  # noqa: E731
+    cands = extract_candidates(mentions_df, "AB", "A", "B",
+                               throttler=thr, throttler_kind="pandas")
+    assert {r.b_span_text for r in cands.collect()} <= {"85", "92", "77"}
+    # d1: A={wide span, exact, PN100A} x B={85, 92} = 6 (none nested/self);
+    # d2: (PN200B, 77) -> 7 total
+    assert n(cands) == 7
+
+
+def test_salted_join_same_result(spark, mentions_df):
+    plain = extract_candidates(mentions_df, "AB", "A", "B")
+    salted = extract_candidates(mentions_df, "AB", "A", "B", salt_buckets=4)
+    a = {(r.a_stable_id, r.b_stable_id) for r in plain.collect()}
+    b = {(r.a_stable_id, r.b_stable_id) for r in salted.collect()}
+    assert a == b
