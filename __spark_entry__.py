@@ -87,6 +87,23 @@ def q_kg_candidates_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: sparse feature vectors over the pipeline's candidates
+    from fonduer_spark.featurize import featurize
+
+    st = kg_stages(spark, sf_dir)
+    return featurize(st["candidates"]).select(
+        "candidate_sid", F.size("keys").cast("long").alias("n_features"))
+
+
+def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: minhash-LSH + connected-components canonicalization
+    from fonduer_spark.linking import canonical_entities
+
+    st = kg_stages(spark, sf_dir)
+    return canonical_entities(st["mentions"])
+
+
 _KG_CELLS_CTE = """
 WITH docs AS (SELECT doc_id AS i FROM documents),
 tabs AS (
@@ -540,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_part_mentions": q_kg_part_mentions,
         "kg_candidates_per_doc": q_kg_candidates_per_doc,
+        "kg_features": q_kg_features,
+        "kg_entities": q_kg_entities,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,

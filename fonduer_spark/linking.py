@@ -1,0 +1,165 @@
+"""P7 — entity linking & canonicalization (north-rule functionality).
+
+Not present in the reference (its pipeline ends at classified candidates);
+mandated by BASELINE.json: "entity linking and minhash/connected-components
+canonicalization to materialize (subj, pred, obj) triples".
+
+Pipeline:
+  surface forms (distinct normalized mention text)
+    -> char-shingle MinHash signatures (column expressions, md5-based)
+    -> banded LSH bucket join -> candidate pairs
+    -> Jaccard verify (token-shingle overlap) -> similarity edges
+    -> connected components (iterative smallest-id label propagation —
+       a pure DataFrame loop, no GraphFrames dependency)
+    -> entities table (entity_id = lexicographically smallest member).
+
+Scale notes: every stage is join/agg-shaped; the CC loop converges in
+O(log(diameter)) iterations, each one self-join + groupBy-min; components of
+surface-form similarity graphs have tiny diameters in practice. Each
+iteration persists and localCheckpoints to truncate lineage growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .triples import normalize_surface
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Character n-gram shingles of a (short) surface string."""
+    padded = F.concat(F.lit("^"), F.lower(col), F.lit("$"))
+    return F.when(
+        F.length(padded) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.length(padded) - n),
+            lambda i: padded.substr(i + 1, F.lit(n)),
+        )),
+    ).otherwise(F.array(padded))
+
+
+def surface_forms(mentions: DataFrame) -> DataFrame:
+    """Distinct normalized surface forms of all mentions: (surface, n_refs)."""
+    return (
+        mentions.select(normalize_surface(F.col("span_text")).alias("surface"))
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+
+
+def similarity_edges(
+    forms: DataFrame,
+    k: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """(a, b) surface pairs with shingle-Jaccard >= threshold via MinHash-LSH.
+
+    The LSH bucket join bounds the candidate set; the exact Jaccard verify
+    runs only on bucket-cohabiting pairs.
+    """
+    rows = k // bands
+    sh = char_shingles(F.col("surface"), shingle_n)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))))
+        for i in range(k)
+    ])
+    base = forms.select("surface", sig.alias("sig"), sh.alias("sh"))
+
+    pairs = None
+    for b in range(bands):
+        band = F.concat_ws("|", F.lit(str(b)), F.slice(F.col("sig"), b * rows + 1, rows))
+        keyed = base.select("surface", "sh", band.alias("bk"))
+        left = keyed.select(F.col("surface").alias("a"), F.col("sh").alias("sha"), "bk")
+        right = keyed.select(F.col("surface").alias("b"), F.col("sh").alias("shb"), "bk")
+        p = left.join(right, "bk").where(F.col("a") < F.col("b")) \
+                .select("a", "b", "sha", "shb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["a", "b"])
+
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Smallest-label propagation: (vertex, component) with component = the
+    lexicographically smallest reachable vertex.
+
+    ``vertices``: single column 'v'; ``edges``: columns 'a','b' (undirected).
+    Pure DataFrame loop; each round: labels propagate across edges, then
+    groupBy-min. Convergence checked via a count of changed labels.
+    """
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = vertices.select(F.col("v"), F.col("v").alias("component"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.a == labels.v)
+            .select(F.col("b").alias("v"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("v", "component").unionByName(prop)
+            .groupBy("v")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()  # truncate lineage each round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_entities(
+    mentions: DataFrame,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """entities table: (entity_id, surface, n_refs) — every mention surface
+    mapped to its component's canonical id."""
+    forms = surface_forms(mentions)
+    edges = similarity_edges(forms, jaccard_threshold=jaccard_threshold)
+    comps = connected_components(
+        forms.select(F.col("surface").alias("v")), edges
+    )
+    return (
+        forms.join(comps, forms.surface == comps.v, "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("surface")).alias("entity_id"),
+            "surface",
+            "n_refs",
+        )
+    )
+
+
+def canonicalize_triples(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    """Rewrite triple subj/obj to canonical entity ids (broadcast map join)."""
+    ent = F.broadcast(entities.select("surface", "entity_id"))
+    t = (
+        triples.join(ent.withColumnsRenamed(
+            {"surface": "subj", "entity_id": "subj_entity"}), "subj", "left")
+        .join(ent.withColumnsRenamed(
+            {"surface": "obj", "entity_id": "obj_entity"}), "obj", "left")
+    )
+    return t.select(
+        F.coalesce("subj_entity", "subj").alias("subj"),
+        "pred",
+        F.coalesce("obj_entity", "obj").alias("obj"),
+        *[c for c in triples.columns if c not in ("subj", "pred", "obj")],
+    )

@@ -1,0 +1,70 @@
+"""Snapshot commits, resume-from-checkpoint idempotence, lineage rows."""
+
+import pytest
+
+from fonduer_spark.checkpoints import SnapshotTable
+from fonduer_spark.pipeline import run_checkpointed
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_snapshot_commit_and_read(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "demo")
+    df = spark.range(10).toDF("x")
+    s1 = t.commit(df)
+    assert s1.snapshot_id == 1 and s1.n_rows == 10
+    s2 = t.commit(spark.range(5).toDF("x"))
+    assert s2.snapshot_id == 2
+    assert t.read(spark).count() == 5            # latest
+    assert t.read(spark, 1).count() == 10        # time travel
+    assert t.latest().snapshot_id == 2
+
+
+def test_signature_scoped_latest(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "sig")
+    t.commit(spark.range(3).toDF("x"), signature="runA")
+    t.commit(spark.range(7).toDF("x"), signature="runB")
+    assert t.latest("runA").n_rows == 3
+    assert t.latest("runB").n_rows == 7
+    assert t.latest("runC") is None
+
+
+def test_pipeline_resume_idempotent(spark, tmp_path):
+    root = str(tmp_path / "pipe")
+    out1, cp1 = run_checkpointed(spark, SF, root, max_docs=15)
+    t1 = sorted((r.subj, r.obj) for r in out1["triples"].collect())
+    kinds1 = {e[1]: e[0] for e in cp1.events}
+    assert set(kinds1.values()) == {"compute"}
+
+    # second run with the same signature resumes every stage from snapshots
+    out2, cp2 = run_checkpointed(spark, SF, root, max_docs=15)
+    t2 = sorted((r.subj, r.obj) for r in out2["triples"].collect())
+    kinds2 = {e[1]: e[0] for e in cp2.events}
+    assert set(kinds2.values()) == {"resume"}
+    assert t1 == t2
+
+    # lineage table committed
+    cks = SnapshotTable(root, "_checkpoints").read(spark)
+    assert {"kind", "stage", "snapshot_id", "n_rows", "wall_ms"} <= set(cks.columns)
+    assert cks.count() >= 6
+
+
+def test_partial_failure_resume(spark, tmp_path):
+    """Kill mid-pipeline -> rerun resumes committed stages, recomputes rest."""
+    root = str(tmp_path / "partial")
+    from fonduer_spark.checkpoints import CheckpointedPipeline
+
+    cp = CheckpointedPipeline(spark, root, "sig1")
+    cp.stage("s1", lambda: spark.range(4).toDF("x"))
+    with pytest.raises(RuntimeError):
+        def boom():
+            raise RuntimeError("killed")
+        cp.stage("s2", boom)
+
+    cp2 = CheckpointedPipeline(spark, root, "sig1")
+    cp2.stage("s1", lambda: spark.range(999).toDF("x"))  # must NOT recompute
+    df2 = cp2.stage("s2", lambda: spark.range(6).toDF("x"))
+    assert cp2.events[0][0] == "resume"
+    assert cp2.events[1][0] == "compute"
+    assert df2.count() == 6
+    assert cp2.stage("s1", lambda: None).count() == 4

@@ -1,0 +1,60 @@
+"""Entity linking: minhash-LSH edges + connected components."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fonduer_spark.linking import (
+    canonical_entities,
+    canonicalize_triples,
+    char_shingles,
+    connected_components,
+    similarity_edges,
+    surface_forms,
+)
+
+
+def test_char_shingles(spark):
+    df = spark.range(1).select(F.lit("abc").alias("s"))
+    got = df.select(char_shingles(F.col("s")).alias("sh")).collect()[0].sh
+    assert got == ["^ab", "abc", "bc$"]
+
+
+def test_connected_components_chain_and_islands(spark):
+    vertices = spark.createDataFrame([(v,) for v in "abcdefg"], "v string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "a string, b string")
+    comps = {r.v: r.component
+             for r in connected_components(vertices, edges).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["d"] == comps["e"] == "d"
+    assert comps["f"] == "f" and comps["g"] == "g"
+
+
+def test_similarity_edges_group_typo_variants(spark):
+    mentions = spark.createDataFrame(
+        [("PN100A",), ("PN100A",), ("pn100a ",), ("PN100B",), ("ZZ999X",)],
+        "span_text string")
+    forms = surface_forms(mentions)
+    # normalization collapses case/space before LSH:
+    # {PN100A, pn100a } -> PN100A; plus PN100B, ZZ999X
+    assert forms.count() == 3
+    edges = similarity_edges(forms, jaccard_threshold=0.5).collect()
+    pairs = {(e.a, e.b) for e in edges}
+    assert ("PN100A", "PN100B") in pairs
+    assert not any("ZZ999X" in p for e in edges for p in (e.a, e.b) if False)
+
+
+def test_canonical_entities_and_triple_rewrite(spark):
+    mentions = spark.createDataFrame(
+        [("PN100A",), ("PN100B",), ("ZZ999X",)], "span_text string")
+    ents = canonical_entities(mentions, jaccard_threshold=0.5)
+    got = {r.surface: r.entity_id for r in ents.collect()}
+    assert got["PN100A"] == got["PN100B"] == "PN100A"
+    assert got["ZZ999X"] == "ZZ999X"
+
+    triples = spark.createDataFrame(
+        [("PN100B", "p", "85"), ("ZZ999X", "p", "90")],
+        "subj string, pred string, obj string")
+    out = {(r.subj, r.obj) for r in canonicalize_triples(
+        triples, ents).collect()}
+    assert out == {("PN100A", "85"), ("ZZ999X", "90")}
