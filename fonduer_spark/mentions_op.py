@@ -13,7 +13,7 @@ then never touches the sentences table again).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterator, List, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -126,6 +126,59 @@ def extract_mentions(
     sel = sentences.where(sentences.ctx_type == "sentence") \
         if "ctx_type" in sentences.columns else sentences
     return sel.select(*_SENTENCE_INPUT_COLS).mapInPandas(fn, MENTION_SCHEMA)
+
+
+def extract_context_mentions(
+    contexts: DataFrame,
+    ctx_type: str,
+    name: Optional[str] = None,
+    figure_types: Optional[Sequence[str]] = None,
+    predicate=None,
+) -> DataFrame:
+    """Whole-context mention spaces: MentionFigures / MentionCells /
+    MentionTables / MentionSections / MentionParagraphs / MentionCaptions /
+    MentionDocuments (reference mentions.py:164-358) as a projection of the
+    contexts frame. Mention stable_id mirrors construct_stable_id for
+    *_mention types (models/utils.py:20-28): ``{url}::{type}_mention:{pos}``
+    (cells add their row/col starts).
+
+    ``figure_types``: url-suffix filter for MentionFigures (mentions.py:187).
+    ``predicate``: optional Column filter (LambdaFunctionFigureMatcher-style
+    predicates become column expressions or pandas filters upstream).
+    """
+    from pyspark.sql import functions as F
+
+    df = contexts.where(F.col("ctx_type") == ctx_type)
+    if figure_types:
+        cond = None
+        for t in figure_types:
+            c = F.col("fig_url").endswith(t)
+            cond = c if cond is None else (cond | c)
+        df = df.where(cond)
+    if predicate is not None:
+        df = df.where(predicate)
+    if ctx_type == "cell":
+        sid = F.concat_ws(
+            ":",
+            F.concat(F.col("url"), F.lit(f"::{ctx_type}_mention")),
+            F.col("position"), F.col("row_start"), F.col("col_start"),
+        )
+    else:
+        sid = F.concat_ws(
+            ":",
+            F.concat(F.col("url"), F.lit(f"::{ctx_type}_mention")),
+            F.col("position"),
+        )
+    return df.select(
+        F.lit(name or f"{ctx_type}_mention").alias("mention_type"),
+        "url",
+        sid.alias("stable_id"),
+        F.col("stable_id").alias("context_sid"),
+        "position",
+        F.col("fig_url"),
+        "table_sid", "cell_sid",
+        "row_start", "row_end", "col_start", "col_end",
+    )
 
 
 def extract_mentions_fused(

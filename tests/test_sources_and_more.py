@@ -1,0 +1,152 @@
+"""Sources/preprocessors, context mention spaces, implicit expanders,
+LF helpers, driver-side learning."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fonduer_spark import sources
+from fonduer_spark.data_model_utils import (
+    col_ngrams,
+    get_matches,
+    is_superset,
+    neighbor_sentence_ngrams,
+    overlap,
+    row_ngrams,
+)
+from fonduer_spark.expanders import NgramsPartRange, expand_part_range
+from fonduer_spark.mentions_op import extract_context_mentions
+from fonduer_spark.parse import parse_webpages
+from fonduer_spark.pipeline import kg_stages
+from fonduer_spark.spans import ImplicitSpan
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stages(spark):
+    st = kg_stages(spark, SF, max_docs=12)
+    yield st
+    st["mentions"].unpersist()
+
+
+# --- sources ----------------------------------------------------------------
+def test_tsv_and_text_sources(spark, tmp_path):
+    p = tmp_path / "docs.tsv"
+    p.write_text("doc1\thello world. second sentence.\ndoc2\tbye now.\n")
+    pages = sources.tsv_docs(spark, str(p))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    parsed = parse_webpages(pages)
+    sents = parsed.where(parsed.ctx_type == "sentence")
+    got = {(r.url, r.text) for r in sents.collect()}
+    assert ("doc1", "hello world") in got
+    assert ("doc2", "bye now") in got
+
+
+def test_csv_source(spark, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text("name,title,body\nd1,Hello,World one.\nd2,Bye,World two.\n")
+    pages = sources.csv_docs(spark, str(p), name_col="name")
+    parsed = parse_webpages(pages)
+    sents = parsed.where(parsed.ctx_type == "sentence")
+    texts = {r.text for r in sents.where(F.col("url") == "d1").collect()}
+    assert texts == {"Hello", "World one"}
+
+
+def test_html_source(spark, tmp_path):
+    (tmp_path / "a.html").write_text(
+        "<html><body><p>alpha beta.</p></body></html>")
+    pages = sources.html_docs(spark, str(tmp_path))
+    parsed = parse_webpages(pages)
+    assert parsed.where(parsed.ctx_type == "sentence").count() == 1
+
+
+# --- context mention spaces ---------------------------------------------------
+def test_figure_and_cell_mentions(spark, stages):
+    figs = extract_context_mentions(
+        stages["parsed"], "figure", figure_types=[".png"])
+    rows = figs.limit(5).collect()
+    assert rows and all(r.fig_url.endswith(".png") for r in rows)
+    assert all("::figure_mention:" in r.stable_id for r in rows)
+    none = extract_context_mentions(
+        stages["parsed"], "figure", figure_types=[".jpg"])
+    assert none.count() == 0
+    cells = extract_context_mentions(stages["parsed"], "cell")
+    r = cells.limit(1).collect()[0]
+    assert re.match(r".+::cell_mention:\d+:\d+:\d+$", r.stable_id)
+
+
+# --- implicit expanders -------------------------------------------------------
+def test_expand_part_range():
+    assert list(expand_part_range("PN100A-PN102A")) == \
+        ["PN100A", "PN101A", "PN102A"]
+    # shorthand second half (prefix elided) also expands
+    assert list(expand_part_range("PN100A-102A")) == \
+        ["PN100A", "PN101A", "PN102A"]
+    assert list(expand_part_range("PN100A-PN099A")) == []
+    assert list(expand_part_range("PN100A-PN102B")) == []
+
+
+def test_ngrams_part_range_space():
+    from tests.test_matchers import sent
+
+    sv = sent("see PN200B-PN202B spec")
+    spans = list(NgramsPartRange(n_max=1).apply(sv))
+    implicit = [s for s in spans if isinstance(s, ImplicitSpan)]
+    assert [s.get_span() for s in implicit] == ["PN200B", "PN201B", "PN202B"]
+    sids = {s.get_stable_id() for s in implicit}
+    assert len(sids) == 3
+    assert all("implicit_span_mention" in s for s in sids)
+
+
+# --- LF helpers ---------------------------------------------------------------
+def test_row_col_ngrams(spark, stages):
+    rn = row_ngrams(stages["parsed"])
+    row1 = rn.where(
+        (F.col("table_sid") == "https://fixture.test/d000001::table:0")
+        & (F.col("row") == 1)).collect()
+    assert len(row1) == 1
+    from fonduer_spark.corpus import part_code, temp_max, temp_min
+    toks = set(row1[0].ngrams)
+    assert part_code(1, 0, 0).lower() in toks
+    assert str(temp_max(1, 0, 0)) in toks and str(temp_min(1, 0, 0)) in toks
+    cn = col_ngrams(stages["parsed"])
+    col0 = cn.where(
+        (F.col("table_sid") == "https://fixture.test/d000001::table:0")
+        & (F.col("col") == 0)).collect()[0]
+    assert "part" in col0.ngrams  # header token
+
+
+def test_neighbor_sentence_ngrams(spark, stages):
+    nb = neighbor_sentence_ngrams(stages["parsed"], d=1)
+    r = nb.limit(1).collect()[0]
+    assert r.neighborhood
+
+
+def test_python_helpers():
+    assert overlap(["a", "b"], ["b", "c"])
+    assert not overlap(["a"], ["c"])
+    assert is_superset(["a", "b", "c"], ["a", "c"])
+    pat = re.compile(r"\d+")
+    assert get_matches(pat, ["a1", "bb", "2c"]) == ["a1", "2c"]
+
+
+# --- learning -----------------------------------------------------------------
+def test_logreg_learns_separation(spark, stages):
+    from fonduer_spark.featurize import featurize
+    from fonduer_spark.learning import score_with_model, train_logreg
+
+    feats = featurize(stages["candidates"]).persist()
+    marg = stages["scored"].select("candidate_sid", "prob")
+    weights, bias = train_logreg(feats, marg, epochs=120)
+    scored = score_with_model(feats, weights, bias)
+    joined = scored.join(marg, "candidate_sid")
+    rows = joined.select("prob", "model_prob").collect()
+    pos = [r.model_prob for r in rows if r.prob >= 0.5]
+    neg = [r.model_prob for r in rows if r.prob < 0.5]
+    assert pos and neg
+    # the discriminative model separates label-model positives from negatives
+    assert min(pos) > max(neg) or (
+        sum(pos) / len(pos) > sum(neg) / len(neg) + 0.2)
+    feats.unpersist()
