@@ -1,0 +1,173 @@
+"""Reference-compatible API facade.
+
+A user of the reference drives it with Parser / MentionExtractor /
+CandidateExtractor / Featurizer / Labeler classes
+(/root/reference/src/fonduer/__init__.py surface). This module mirrors those
+names and call shapes over the engine's DataFrame stages so tutorial-style
+code ports 1:1 — the constructor takes a SparkSession instead of a Postgres
+session, ``apply`` takes/returns DataFrames instead of writing ORM rows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .candidates_op import extract_candidates
+from .featurize import feature_keys, featurize
+from .labeling import apply_lfs, label_keys, majority_vote_marginals
+from .mentions_op import MentionSpec, extract_mentions
+from .parse import ParseConfig, contexts_of, parse_webpages
+
+
+class Parser:
+    """Parser(spark, structural=..., blacklist=..., flatten=..., ...) —
+    reference parser/parser.py:44-105 call shape; ``apply(web_pages)``
+    returns the unified contexts frame."""
+
+    def __init__(self, spark: SparkSession, **cfg) -> None:
+        self.spark = spark
+        allowed = {f for f in ParseConfig.__dataclass_fields__}
+        cfg = {k: tuple(v) if isinstance(v, list) else v
+               for k, v in cfg.items() if k in allowed}
+        self.cfg = ParseConfig(**cfg)
+
+    def apply(self, web_pages: DataFrame) -> DataFrame:
+        return parse_webpages(web_pages, self.cfg)
+
+    @staticmethod
+    def get_documents(parsed: DataFrame) -> DataFrame:
+        return contexts_of(parsed, "document").orderBy("stable_id")
+
+    @staticmethod
+    def get_sentences(parsed: DataFrame) -> DataFrame:
+        return contexts_of(parsed, "sentence").orderBy("stable_id")
+
+
+class MentionExtractor:
+    """MentionExtractor(spark, names, spaces, matchers) — reference
+    candidates/mentions.py:360-451 shape; a (name, space, matcher) triple per
+    mention class, extraction fused per sentence."""
+
+    def __init__(self, spark: SparkSession, names: Sequence[str],
+                 spaces: Sequence, matchers: Sequence) -> None:
+        if not (len(names) == len(spaces) == len(matchers)):
+            raise ValueError("names, spaces, matchers must align")
+        self.spark = spark
+        self.specs = [MentionSpec(n, s, m)
+                      for n, s, m in zip(names, spaces, matchers)]
+
+    def apply(self, sentences: DataFrame) -> DataFrame:
+        return extract_mentions(sentences, self.specs)
+
+    @staticmethod
+    def get_mentions(mentions: DataFrame,
+                     mention_type: Optional[str] = None) -> DataFrame:
+        df = mentions
+        if mention_type:
+            df = df.where(F.col("mention_type") == mention_type)
+        return df.orderBy("stable_id")
+
+
+class CandidateExtractor:
+    """CandidateExtractor(spark, candidate_types, throttlers=..., ...) —
+    reference candidates/candidates.py:23-126 shape for binary relations."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        candidate_types: Sequence[tuple],  # (name, type_a, type_b)
+        throttlers: Optional[Sequence] = None,
+        self_relations: bool = False,
+        nested_relations: bool = False,
+        symmetric_relations: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.types = list(candidate_types)
+        self.throttlers = list(throttlers or [None] * len(self.types))
+        if len(self.throttlers) != len(self.types):
+            raise ValueError(
+                "Provided different number of throttlers and candidate classes."
+            )
+        self.flags = dict(
+            self_relations=self_relations,
+            nested_relations=nested_relations,
+            symmetric_relations=symmetric_relations,
+        )
+
+    def apply(self, mentions: DataFrame, split: int = 0) -> DataFrame:
+        out = None
+        for (name, ta, tb), thr in zip(self.types, self.throttlers):
+            kind = "column" if thr is None or _is_column_throttler(thr) \
+                else "pandas"
+            c = extract_candidates(
+                mentions, name, ta, tb, throttler=thr, throttler_kind=kind,
+                split=split, **self.flags,
+            )
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    @staticmethod
+    def get_candidates(candidates: DataFrame,
+                       candidate_type: Optional[str] = None,
+                       split: Optional[int] = None) -> DataFrame:
+        df = candidates
+        if candidate_type:
+            df = df.where(F.col("candidate_type") == candidate_type)
+        if split is not None:
+            df = df.where(F.col("split") == split)
+        return df.orderBy("candidate_sid")
+
+
+def _is_column_throttler(thr) -> bool:
+    """Column throttlers take a DataFrame and return a Column; pandas
+    throttlers take a pandas DataFrame and return a boolean Series. Column
+    throttlers from candidates_op are plain module functions — detect via a
+    marker attribute or signature convention (default: column)."""
+    return getattr(thr, "throttler_kind", "column") == "column"
+
+
+class Featurizer:
+    """Featurizer(spark, feature_libs=[...]) — reference features/
+    featurizer.py:33-146 shape."""
+
+    def __init__(self, spark: SparkSession,
+                 feature_libs: Sequence[str] = ("textual", "tabular",
+                                                "structural")) -> None:
+        self.spark = spark
+        self.libs = tuple(feature_libs)
+
+    def apply(self, candidates: DataFrame,
+              sentences: Optional[DataFrame] = None,
+              train: bool = False) -> DataFrame:
+        feats = featurize(candidates, sentences, libs=self.libs)
+        if train:
+            self.key_table = feature_keys(feats)
+        return feats
+
+    def get_keys(self) -> DataFrame:
+        return self.key_table.orderBy("key")
+
+
+class Labeler:
+    """Labeler(spark) — reference supervision/labeler.py:47-115 shape;
+    ``apply(candidates, lfs)`` returns the 0-shifted labels frame."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def apply(self, candidates: DataFrame, lfs: Dict,
+              train: bool = False) -> DataFrame:
+        labels = apply_lfs(candidates, lfs)
+        if train:
+            self.key_table = label_keys(labels)
+        return labels
+
+    def get_keys(self) -> DataFrame:
+        return self.key_table.orderBy("key")
+
+    @staticmethod
+    def marginals(labels: DataFrame) -> DataFrame:
+        return majority_vote_marginals(labels)

@@ -1,0 +1,138 @@
+"""Structured Streaming: incremental ingest of web pages -> mentions/triples.
+
+The reference is batch-only (SURVEY.md §2.10); its incremental story is
+stable_id dedup + re-apply (tests/e2e/test_incremental.py). The Spark-native
+equivalent is a streaming pipeline: ``readStream`` over the web_pages table
+directory, the SAME fused parse+mention stage (mapInPandas works unchanged
+on streaming DataFrames), and an append sink — new documents flow through
+without touching processed ones, and the sink + checkpointLocation give
+exactly-once per-batch semantics (the streaming analogue of the snapshot
+commits in checkpoints.py).
+
+Also provides the watermarked windowed aggregation shape for event streams
+(late-data tolerant counts), exercised against the driver's events table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import WEB_PAGES_SCHEMA
+from .mentions_op import MENTION_SCHEMA, MentionSpec
+from .parse import CONTEXT_SCHEMA, ParseConfig, parse_webpages
+
+
+def stream_web_pages(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 16) -> DataFrame:
+    """File-source stream of web_pages parquet drops (new files = new docs)."""
+    return (
+        spark.readStream
+        .schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+
+def stream_parse(pages: DataFrame, cfg: Optional[ParseConfig] = None) -> DataFrame:
+    """The parse operator applied to a streaming frame — identical code path
+    (mapInPandas is streaming-compatible); returns a streaming contexts frame."""
+    return parse_webpages(pages, cfg)
+
+
+def stream_mentions(pages: DataFrame, specs: Sequence[MentionSpec],
+                    cfg: Optional[ParseConfig] = None) -> DataFrame:
+    """Streaming fused parse+mention extraction over (url, html) pages."""
+    import pandas as pd
+
+    from .lingual import SimpleParser
+    from .parse import parse_document
+    from .spans import SentenceView
+
+    cfg = cfg or ParseConfig()
+    spec_list = list(specs)
+
+    def fn(batches):
+        lp = SimpleParser(cfg.sentence_delim)
+        for pdf in batches:
+            out = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if isinstance(html, (bytes, bytearray, memoryview)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                try:
+                    rows = parse_document(url, html, cfg, lp,
+                                          emit_types={"sentence"})
+                except Exception:
+                    continue
+                for row in rows:
+                    sv = SentenceView(row)
+                    offs = row["char_offsets"]
+                    abs0 = (row["abs_char_offsets"][0] - offs[0]) if offs else 0
+                    for spec in spec_list:
+                        for seq, span in enumerate(
+                            spec.matcher.apply(spec.space.apply(sv))
+                        ):
+                            out.append({
+                                "mention_type": spec.name, "url": url,
+                                "stable_id": (
+                                    f"{url}::span_mention:"
+                                    f"{abs0 + span.char_start}:"
+                                    f"{abs0 + span.char_end}"),
+                                "sentence_sid": row["stable_id"],
+                                "sentence_position": row["position"],
+                                "char_start": span.char_start,
+                                "char_end": span.char_end,
+                                "word_start": span.get_word_start_index(),
+                                "word_end": span.get_word_end_index(),
+                                "span_text": span.get_span(),
+                                "emit_seq": seq,
+                                "table_sid": row.get("table_sid"),
+                                "cell_sid": row.get("cell_sid"),
+                                "table_position": row.get("table_position"),
+                                "cell_position": row.get("cell_position"),
+                                "row_start": row.get("row_start"),
+                                "row_end": row.get("row_end"),
+                                "col_start": row.get("col_start"),
+                                "col_end": row.get("col_end"),
+                                "xpath": row.get("xpath"),
+                                "html_tag": row.get("html_tag"),
+                            })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MENTION_SCHEMA.fields])
+
+    return pages.select("url", "html").mapInPandas(fn, MENTION_SCHEMA)
+
+
+def run_stream_to_parquet(stream_df: DataFrame, out_dir: str,
+                          checkpoint_dir: str, await_termination: bool = True):
+    """Append sink with exactly-once per-batch checkpointing; availableNow
+    processes the current backlog then stops (batch-equivalent semantics for
+    tests and backfills)."""
+    q = (
+        stream_df.writeStream
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation for late-arriving events —
+    works on both batch and streaming frames."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )

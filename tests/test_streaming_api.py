@@ -1,0 +1,103 @@
+"""Structured Streaming incremental pipeline + the reference-compatible API
+facade."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fonduer_spark.api import (
+    CandidateExtractor,
+    Featurizer,
+    Labeler,
+    MentionExtractor,
+    Parser,
+)
+from fonduer_spark.candidates_op import same_row
+from fonduer_spark.corpus import make_web_pages
+from fonduer_spark.matchers import RegexMatchSpan
+from fonduer_spark.mention_spaces import MentionNgrams
+from fonduer_spark.pipeline import PART_RGX, TEMP_RGX, default_mention_specs
+from fonduer_spark.streaming import (
+    run_stream_to_parquet,
+    stream_mentions,
+    stream_web_pages,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_incremental_mentions(spark, tmp_path):
+    in_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "mentions")
+    ck_dir = str(tmp_path / "ck")
+
+    # drop batch 1
+    make_web_pages(spark, SF, max_docs=10).write.mode("append").parquet(in_dir)
+    stream = stream_web_pages(spark, in_dir)
+    assert stream.isStreaming
+    mentions = stream_mentions(stream, default_mention_specs())
+    run_stream_to_parquet(mentions, out_dir, ck_dir)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+
+    # drop batch 2 (new docs) -> only the new files are processed
+    make_web_pages(spark, SF, max_docs=20).where(
+        F.col("url") >= "https://fixture.test/d000010"
+    ).write.mode("append").parquet(in_dir)
+    mentions2 = stream_mentions(stream_web_pages(spark, in_dir),
+                                default_mention_specs())
+    run_stream_to_parquet(mentions2, out_dir, ck_dir)
+    out = spark.read.parquet(out_dir)
+    n2 = out.count()
+    assert n2 > n1
+    # no duplicate mention stable ids across incremental batches
+    assert out.select("stable_id", "mention_type").distinct().count() == n2
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    agg = windowed_event_counts(events, window="1 day", watermark="1 day")
+    rows = agg.collect()
+    assert rows
+    total = sum(r.n_events for r in rows)
+    assert total == events.count()
+
+
+def test_api_facade_end_to_end(spark):
+    pages = make_web_pages(spark, SF, max_docs=8)
+    parser = Parser(spark, flatten=["span", "br"])
+    parsed = parser.apply(pages).persist()
+    assert Parser.get_documents(parsed).count() == 8
+
+    me = MentionExtractor(
+        spark, ["part", "temp"],
+        [MentionNgrams(n_max=1), MentionNgrams(n_max=1)],
+        [RegexMatchSpan(rgx=PART_RGX, ignore_case=False),
+         RegexMatchSpan(rgx=TEMP_RGX, ignore_case=False)],
+    )
+    mentions = me.apply(Parser.get_sentences(parsed)).persist()
+    assert MentionExtractor.get_mentions(mentions, "part").count() > 0
+
+    ce = CandidateExtractor(spark, [("part_temp", "part", "temp")],
+                            throttlers=[same_row])
+    cands = ce.apply(mentions, split=0).persist()
+    assert CandidateExtractor.get_candidates(cands, "part_temp").count() > 0
+    assert cands.select("split").distinct().collect()[0].split == 0
+
+    fz = Featurizer(spark)
+    feats = fz.apply(cands, parsed, train=True)
+    assert fz.get_keys().count() > 0
+
+    lb = Labeler(spark)
+    from fonduer_spark.pipeline import default_lfs
+    labels = lb.apply(cands, default_lfs(), train=True)
+    assert lb.get_keys().count() == 3
+    marg = Labeler.marginals(labels)
+    assert {r.prob for r in marg.collect()} <= {0.0, 1.0, 1 / 3, 0.5, 2 / 3}
+    parsed.unpersist(); mentions.unpersist(); cands.unpersist()
+
+
+def test_api_throttler_count_mismatch(spark):
+    with pytest.raises(ValueError):
+        CandidateExtractor(spark, [("a", "x", "y"), ("b", "x", "y")],
+                           throttlers=[same_row])
