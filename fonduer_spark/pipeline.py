@@ -68,26 +68,44 @@ def kg_stages(
     max_docs: Optional[int] = None,
     salt_buckets: int = 0,
     replicate: int = 1,
+    candidate_strategy: str = "fused",
 ) -> Dict[str, DataFrame]:
-    """Build every stage lazily; returns the dict of stage DataFrames."""
+    """Build every stage lazily; returns the dict of stage DataFrames.
+
+    ``candidate_strategy``:
+    - "fused" (default): the candidate product is document-local, so
+      render+parse+mentions+product+filters run in ONE flatMap-style Python
+      stage — zero shuffles before the triple aggregation (no mention
+      materialization/persist). Hot docs above the per-doc mention cap route
+      to the join path.
+    - "join": materialize mentions, then the relational equi-join on url
+      with column-predicate throttlers (explicit salting + AQE skew-join) —
+      the general path for cross-document relations; also what salt_buckets
+      implies.
+    Both produce identical rows (tested + oracle-checked).
+    """
     pages = make_web_pages(spark, sf_dir, max_docs, replicate=replicate)
     parsed = parse_webpages(pages)
     sentences = contexts_of(parsed, "sentence")
-    # Hot path: render+parse+mention-extract fused into ONE Python stage
-    # (one worker per task, no Arrow round-trip of the 25x-larger context
-    # rows). The modular pages/parsed/sentences frames above are lazy — they
-    # only compute when a caller uses them.
     docs = load_docs(spark, sf_dir, max_docs, replicate)
-    # Persist mentions: the candidate self-join consumes this frame twice
-    # (slot A and slot B); without persistence the whole parse lineage would
-    # execute twice. At cluster scale this is the per-stage snapshot write
-    # (SURVEY.md §7.1); locally MEMORY_AND_DISK serves the same role.
+    # mentions as a standalone frame (fused render+parse+extract — one
+    # python stage); persisted lazily because the join strategy reads it
+    # twice. Only computed if a caller uses it.
     mentions = extract_mentions_fused(docs, default_mention_specs()).persist()
-    candidates = extract_candidates(
-        mentions, "part_temp", "part", "temp",
-        throttler=same_row, throttler_kind="column",
-        salt_buckets=salt_buckets,
-    )
+
+    if candidate_strategy == "join" or salt_buckets > 0:
+        candidates = extract_candidates(
+            mentions, "part_temp", "part", "temp",
+            throttler=same_row, throttler_kind="column",
+            salt_buckets=salt_buckets,
+        )
+    else:
+        from .candidates_fused import extract_candidates_fused, same_row_py
+
+        candidates = extract_candidates_fused(
+            docs, default_mention_specs(), "part_temp", "part", "temp",
+            throttler=same_row_py,
+        )
     scored = with_marginals(candidates, default_lfs())
     triples = materialize_triples(scored, pred=PRED, prob_threshold=0.5)
     return {
