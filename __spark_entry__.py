@@ -154,8 +154,12 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All-pairs Jaccard is O(sum df^2) by nature — bounded here to a fixed
+    # doc subset; at corpus scale near-dup detection goes through
+    # dedup_minhash_pairs (LSH) with Jaccard verify inside buckets.
     return dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), shingle_n=2, threshold=0.02, max_df=1000
+        _docs(spark, sf_dir).where(F.col("doc_id") < 1000),
+        shingle_n=2, threshold=0.02, max_df=200
     ).select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
@@ -200,10 +204,11 @@ FROM sh ORDER BY doc_id
 _DEDUP_JACCARD_SQL = f"""
 WITH ds AS (
   SELECT doc_id AS doc, list_distinct({_DD_SHINGLES2}) AS sh FROM documents
+  WHERE doc_id < 1000
 ),
 sizes AS (SELECT doc, len(sh) AS n_sh FROM ds),
 ex0 AS (SELECT doc, unnest(sh) AS s FROM ds),
-hot AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 1000),
+hot AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 200),
 ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
 common AS (
   SELECT x.doc AS a, y.doc AS b, CAST(count(*) AS BIGINT) AS common

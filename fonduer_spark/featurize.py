@@ -82,6 +82,51 @@ def _textual_unary(row: dict, prefix: str, words: List[str]) -> Iterator[str]:
     yield f"LENGTH_{{{len(span_words)}}}"
 
 
+def _lingual_unary(row: dict, prefix: str, lemmas, pos_tags,
+                   dep_labels, dep_parents) -> Iterator[str]:
+    """Dependency/lemma features, gated on lingual arrays being populated —
+    under SimpleParser these are empty strings and the library no-ops,
+    exactly like the reference without spaCy (textual_features.py:109-238:
+    DDLIB/TreeDLib features require lemmas + dep parses).
+
+    Implemented subset: LEMMA_SEQ / POS_SEQ of the span, DEP_LABEL of each
+    span token, and the lemma of each span token's dependency head (the
+    first-order TreeDLib parent feature)."""
+    if lemmas is None:
+        return
+    lemmas = list(lemmas)  # Arrow hands numpy arrays to the UDF
+    if not lemmas or not any(lemmas):
+        return
+    pos_tags = list(pos_tags) if pos_tags is not None else []
+    dep_labels = list(dep_labels) if dep_labels is not None else []
+    dep_parents = list(dep_parents) if dep_parents is not None else []
+    ws, we = _span_word_range(row, prefix)
+    span_lemmas = [l.lower() for l in lemmas[ws:we + 1] if l]
+    if span_lemmas:
+        yield f"LEMMA_SEQ_[{' '.join(span_lemmas)}]"
+    span_pos = [p for p in pos_tags[ws:we + 1] if p]
+    if span_pos:
+        yield f"POS_SEQ_[{' '.join(span_pos)}]"
+    for i in range(ws, we + 1):
+        if dep_labels and i < len(dep_labels) and dep_labels[i]:
+            yield f"DEP_LABEL_[{dep_labels[i]}]"
+        if dep_parents and i < len(dep_parents):
+            h = dep_parents[i]
+            if 0 <= h < len(lemmas) and h != i and lemmas[h]:
+                yield f"DEP_HEAD_LEMMA_[{lemmas[h].lower()}]"
+
+
+def _visual_unary(row: dict, prefix: str) -> Iterator[str]:
+    """Visual-layout features — the webtext payload carries no visual arrays
+    (sentences have no page/bbox columns), so this is a structural no-op
+    gate matching the reference's is_visual() check
+    (visual_features.py:43,56). Kept as the extension point for PDF/hOCR
+    payloads."""
+    if row.get(f"{prefix}page") is None:
+        return
+    yield f"PAGE_[{row[f'{prefix}page']}]"  # pragma: no cover
+
+
 def _tabular_unary(row: dict, prefix: str) -> Iterator[str]:
     """Unary tabular features (tabular_features.py:74-131)."""
     if row.get(f"{prefix}cell_sid") is None:
@@ -169,21 +214,22 @@ def featurize(
     """
     df = candidates
     have_words = False
-    if sentences is not None and "textual" in libs:
+    want_lingual = "lingual" in libs or "textual" in libs
+    if sentences is not None and ("textual" in libs or "lingual" in libs):
         sent = (
             sentences.where(F.col("ctx_type") == "sentence")
             if "ctx_type" in sentences.columns else sentences
         )
-        slim = sent.select(
-            F.col("stable_id").alias("a_sentence_sid"),
-            F.col("words").alias("a_sent_words"),
-        )
-        df = df.join(slim, "a_sentence_sid", "left")
-        slim_b = sent.select(
-            F.col("stable_id").alias("b_sentence_sid"),
-            F.col("words").alias("b_sent_words"),
-        )
-        df = df.join(slim_b, "b_sentence_sid", "left")
+        for p in ("a_", "b_"):
+            slim = sent.select(
+                F.col("stable_id").alias(f"{p}sentence_sid"),
+                F.col("words").alias(f"{p}sent_words"),
+                F.col("lemmas").alias(f"{p}sent_lemmas"),
+                F.col("pos_tags").alias(f"{p}sent_pos"),
+                F.col("dep_labels").alias(f"{p}sent_dep_labels"),
+                F.col("dep_parents").alias(f"{p}sent_dep_parents"),
+            )
+            df = df.join(slim, f"{p}sentence_sid", "left")
         have_words = True
 
     libset = set(libs)
@@ -217,6 +263,17 @@ def featurize(
                         else:
                             for name in _textual_unary(row, p, list(words)):
                                 emit(pre, name)
+                            for name in _lingual_unary(
+                                row, p,
+                                row.get(f"{p}sent_lemmas"),
+                                row.get(f"{p}sent_pos"),
+                                row.get(f"{p}sent_dep_labels"),
+                                row.get(f"{p}sent_dep_parents"),
+                            ):
+                                emit(pre, name)
+                    if "visual" in libset:
+                        for name in _visual_unary(row, p):
+                            emit(pre, name)
                     if "tabular" in libset:
                         for name in _tabular_unary(row, p):
                             emit(pre, name)

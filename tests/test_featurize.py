@@ -107,6 +107,50 @@ def test_window_features(spark):
     assert "e0_STARTS_WITH_CAPITAL" in keys
 
 
+def test_lingual_features_gated_and_active(spark):
+    """Lingual features no-op under SimpleParser (empty arrays) and activate
+    when lemma/pos/dep arrays are populated (spaCy-style input)."""
+    from fonduer_spark.candidates_op import extract_candidates
+    from fonduer_spark.mentions_op import MENTION_COLUMNS, MENTION_SCHEMA
+    from fonduer_spark.parse import CONTEXT_COLUMNS, CONTEXT_SCHEMA
+
+    def m(mtype, ws, we, cs, ce, text, sid_i):
+        r = dict.fromkeys(MENTION_COLUMNS)
+        r.update(mention_type=mtype, url="d",
+                 stable_id=f"d::span_mention:{sid_i}:{sid_i+ce-cs}",
+                 sentence_sid="d::sentence:0:20", sentence_position=0,
+                 char_start=cs, char_end=ce, word_start=ws, word_end=we,
+                 span_text=text, emit_seq=0)
+        return tuple(r[c] for c in MENTION_COLUMNS)
+
+    mentions = spark.createDataFrame(
+        [m("A", 0, 0, 0, 3, "cats", 0), m("B", 2, 2, 10, 13, "mice", 10)],
+        MENTION_SCHEMA)
+    s = dict.fromkeys(CONTEXT_COLUMNS)
+    s.update(url="d", stable_id="d::sentence:0:20", ctx_type="sentence",
+             position=0, text="cats chase mice", words=["cats", "chase", "mice"],
+             char_offsets=[0, 5, 11], abs_char_offsets=[0, 5, 11],
+             lemmas=["cat", "chase", "mouse"], pos_tags=["NOUN", "VERB", "NOUN"],
+             dep_labels=["nsubj", "ROOT", "dobj"], dep_parents=[1, 1, 1])
+    sentences = spark.createDataFrame(
+        [tuple(s[c] for c in CONTEXT_COLUMNS)], CONTEXT_SCHEMA)
+    cands = extract_candidates(mentions, "AB", "A", "B")
+    keys = {k for r in featurize(cands, sentences).collect() for k in r.keys}
+    assert "e0_LEMMA_SEQ_[cat]" in keys
+    assert "e0_POS_SEQ_[NOUN]" in keys
+    assert "e0_DEP_LABEL_[nsubj]" in keys
+    assert "e0_DEP_HEAD_LEMMA_[chase]" in keys
+
+    # SimpleParser-style empty arrays -> lingual features absent
+    s2 = dict(s)
+    s2.update(lemmas=["", "", ""], pos_tags=["", "", ""],
+              dep_labels=["", "", ""], dep_parents=[0, 0, 0])
+    sentences2 = spark.createDataFrame(
+        [tuple(s2[c] for c in CONTEXT_COLUMNS)], CONTEXT_SCHEMA)
+    keys2 = {k for r in featurize(cands, sentences2).collect() for k in r.keys}
+    assert not any("LEMMA_SEQ" in k or "DEP_" in k for k in keys2)
+
+
 def test_span_text_fallback_without_sentences(spark, stages):
     f = featurize(stages["candidates"].limit(20), sentences=None)
     keys = {k for r in f.collect() for k in r.keys}
