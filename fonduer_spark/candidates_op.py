@@ -187,3 +187,42 @@ def same_cell(_df: DataFrame = None) -> Column:
 
 def same_sentence(_df: DataFrame = None) -> Column:
     return F.col("a_sentence_sid") == F.col("b_sentence_sid")
+
+
+def extract_candidates_nary(
+    mentions: DataFrame,
+    candidate_type: str,
+    types: "list[str]",
+    throttler: Optional[ColumnThrottler] = None,
+    split: int = 0,
+) -> DataFrame:
+    """Higher-order (n-ary) candidate extraction: iterative document-local
+    equi-joins, one per slot. The reference only implements the
+    self/nested/symmetric filters for binary relations
+    (candidates.py:290-291 'TODO: Make this work for higher-order
+    relations'); this engine mirrors that: n-ary applies the throttler only.
+
+    Slots are prefixed m0_, m1_, ... ; candidate_sid is the '~~'-joined
+    tuple of slot stable_ids (the reference's stable-id-tuple identity,
+    utils/utils.py:51-69).
+    """
+    def prefixed(df: DataFrame, i: int) -> DataFrame:
+        return df.select(
+            [F.col(c).alias(f"m{i}_{c}") for c in MENTION_COLUMNS])
+
+    out = None
+    for i, t in enumerate(types):
+        side = prefixed(mentions.where(F.col("mention_type") == t), i)
+        if out is None:
+            out = side
+        else:
+            out = out.join(side, out[f"m0_url"] == side[f"m{i}_url"])
+    if throttler is not None:
+        out = out.where(throttler(out))
+    return (
+        out.withColumn("candidate_type", F.lit(candidate_type))
+        .withColumn("split", F.lit(split))
+        .withColumn("candidate_sid", F.concat_ws(
+            "~~", *[F.col(f"m{i}_stable_id") for i in range(len(types))]))
+        .withColumn("url", F.col("m0_url"))
+    )

@@ -140,6 +140,31 @@ def majority_vote_marginals(labels: DataFrame) -> DataFrame:
     )
 
 
+def snorkel_label_model_marginals(labels: DataFrame) -> DataFrame:
+    """Generative label model via snorkel's LabelModel when installed
+    (the reference fits snorkel.labeling.model.LabelModel on the collected
+    matrix, tests/e2e/test_e2e.py:317-320); falls back to majority vote
+    otherwise. Collection is O(#candidates x #LFs) — the reference's own
+    driver-side fit point."""
+    try:
+        import numpy as np
+        from snorkel.labeling.model import LabelModel  # type: ignore
+    except Exception:
+        return majority_vote_marginals(labels)
+
+    rows = labels.select("candidate_sid", "values").collect()
+    # stored 0-shifted -> snorkel convention (-1 = ABSTAIN)
+    L = np.array([[v - 1 for v in r.values] for r in rows])
+    model = LabelModel(cardinality=2, verbose=False)
+    model.fit(L_train=L, n_epochs=300, seed=42)
+    probs = model.predict_proba(L)[:, 1]
+    spark = labels.sparkSession
+    pdf = [(r.candidate_sid, float(p)) for r, p in zip(rows, probs)]
+    marg = spark.createDataFrame(pdf, "candidate_sid string, prob double")
+    return labels.select("candidate_sid", "candidate_type", "url") \
+        .join(marg, "candidate_sid")
+
+
 def gold_labels(
     candidates: DataFrame, is_gold: Column, annotator: str = "gold"
 ) -> DataFrame:

@@ -61,24 +61,37 @@ def similarity_edges(
     runs only on bucket-cohabiting pairs.
     """
     rows = k // bands
-    sh = char_shingles(F.col("surface"), shingle_n)
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))))
+    # Relational MinHash (see dedup.minhash_lsh_pairs): explode shingles
+    # once, one groupBy computing all k mins — avoids Catalyst's lack of
+    # cross-expression CSE duplicating the signature into every band key.
+    ex = forms.select(
+        "surface", F.explode(char_shingles(F.col("surface"), shingle_n)).alias("s")
+    )
+    sig = ex.groupBy("surface").agg(*[
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
         for i in range(k)
     ])
-    base = forms.select("surface", sig.alias("sig"), sh.alias("sh"))
-
-    pairs = None
-    for b in range(bands):
-        band = F.concat_ws("|", F.lit(str(b)), F.slice(F.col("sig"), b * rows + 1, rows))
-        keyed = base.select("surface", "sh", band.alias("bk"))
-        left = keyed.select(F.col("surface").alias("a"), F.col("sh").alias("sha"), "bk")
-        right = keyed.select(F.col("surface").alias("b"), F.col("sh").alias("shb"), "bk")
-        p = left.join(right, "bk").where(F.col("a") < F.col("b")) \
-                .select("a", "b", "sha", "shb")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["a", "b"])
-
+    band_keys = F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    *[F.col(f"h{b * rows + j}") for j in range(rows)])
+        for b in range(bands)
+    ])
+    keyed = sig.select("surface", F.explode(band_keys).alias("bk"))
+    pairs = (
+        keyed.select(F.col("surface").alias("a"), "bk")
+        .join(keyed.select(F.col("surface").alias("b"), "bk"), "bk")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # exact Jaccard verify only on bucket-cohabiting pairs
+    shing = forms.select(
+        "surface", char_shingles(F.col("surface"), shingle_n).alias("sh")
+    )
+    pairs = (
+        pairs.join(shing.withColumnsRenamed({"surface": "a", "sh": "sha"}), "a")
+        .join(shing.withColumnsRenamed({"surface": "b", "sh": "shb"}), "b")
+    )
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size(F.array_union("sha", "shb"))
     return (

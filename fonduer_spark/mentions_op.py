@@ -71,12 +71,18 @@ class MentionSpec:
 
 
 def extract_mentions(
-    sentences: DataFrame, specs: Sequence[MentionSpec]
+    sentences: DataFrame, specs: Sequence[MentionSpec], dedup: bool = False
 ) -> DataFrame:
     """Run every (space, matcher) spec over each sentence; emit mention rows.
 
     Longest-match-only pruning happens inside the fused generator per
     sentence (order-sensitive — see SURVEY.md §2.4), never as a join.
+
+    ``dedup=True`` adds the reference's stable_id uniqueness guarantee
+    (mentions.py:560-586 / the UNIQUE constraint on the context FK) via
+    dropDuplicates — off by default because generation is already unique
+    per run and the shuffle is pure cost; turn on for incremental re-runs
+    over a pre-existing mentions table.
     """
     spec_list = list(specs)
 
@@ -125,7 +131,10 @@ def extract_mentions(
 
     sel = sentences.where(sentences.ctx_type == "sentence") \
         if "ctx_type" in sentences.columns else sentences
-    return sel.select(*_SENTENCE_INPUT_COLS).mapInPandas(fn, MENTION_SCHEMA)
+    out = sel.select(*_SENTENCE_INPUT_COLS).mapInPandas(fn, MENTION_SCHEMA)
+    if dedup:
+        out = out.dropDuplicates(["mention_type", "stable_id"])
+    return out
 
 
 def extract_context_mentions(

@@ -48,7 +48,9 @@ def default_lfs() -> Dict[str, object]:
 
     tmax rows vote (1,1,1) -> prob 1.0; tmin rows vote (0,0,1) -> prob 1/3.
     """
-    obj_int = F.col("b_span_text").cast("int")
+    # try_cast: a malformed value yields NULL (LF abstains) instead
+    # of failing the job under ANSI mode
+    obj_int = F.col("b_span_text").try_cast("int")
     return {
         "lf_temp_sign": F.when(obj_int > 0, 1).otherwise(0),
         "lf_in_range": (

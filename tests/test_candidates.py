@@ -126,3 +126,55 @@ def test_salted_join_same_result(spark, mentions_df):
     a = {(r.a_stable_id, r.b_stable_id) for r in plain.collect()}
     b = {(r.a_stable_id, r.b_stable_id) for r in salted.collect()}
     assert a == b
+
+
+def test_nary_extraction(spark, mentions_df):
+    from fonduer_spark.candidates_op import extract_candidates_nary
+
+    # ternary A x B x B in d1/d2 with a column throttler over slot coords
+    c3 = extract_candidates_nary(
+        mentions_df, "ABB", ["A", "B", "B"],
+        throttler=lambda df: (
+            F.col("m0_table_sid").isNotNull()
+            & (F.col("m0_table_sid") == F.col("m1_table_sid"))
+            & (F.col("m1_table_sid") == F.col("m2_table_sid"))
+        ),
+    )
+    rows = c3.collect()
+    # d1 table t0: A=PN100A, B in {85, 92} -> 1 x 2 x 2 = 4 tuples
+    assert len(rows) == 4
+    assert all(r.candidate_sid.count("~~") == 2 for r in rows)
+    assert {r.m0_span_text for r in rows} == {"PN100A"}
+
+
+def test_snorkel_fallback_marginals(spark, mentions_df):
+    from fonduer_spark.labeling import (
+        apply_lfs, majority_vote_marginals, snorkel_label_model_marginals)
+
+    cands = extract_candidates(mentions_df, "AB", "A", "B")
+    lfs = {"lf": F.when(F.col("b_span_text").try_cast("int") > 80, 1).otherwise(0)}
+    labels = apply_lfs(cands, lfs)
+    # snorkel absent in this container -> exact majority-vote fallback
+    a = {(r.candidate_sid, r.prob)
+         for r in snorkel_label_model_marginals(labels).collect()}
+    b = {(r.candidate_sid, r.prob)
+         for r in majority_vote_marginals(labels).collect()}
+    assert a == b
+
+
+def test_mention_dedup_flag(spark):
+    from fonduer_spark.mentions_op import extract_mentions
+    from fonduer_spark.parse import CONTEXT_COLUMNS, CONTEXT_SCHEMA
+    from fonduer_spark.pipeline import default_mention_specs
+
+    s = dict.fromkeys(CONTEXT_COLUMNS)
+    s.update(url="d", stable_id="d::sentence:0:6", ctx_type="sentence",
+             position=0, text="PN100A", words=["PN100A"],
+             char_offsets=[0], abs_char_offsets=[0])
+    row = tuple(s[c] for c in CONTEXT_COLUMNS)
+    # duplicated sentence row (simulating an incremental re-run overlap)
+    sentences = spark.createDataFrame([row, row], CONTEXT_SCHEMA)
+    raw = extract_mentions(sentences, default_mention_specs())
+    assert raw.count() == 2
+    deduped = extract_mentions(sentences, default_mention_specs(), dedup=True)
+    assert deduped.count() == 1
