@@ -104,6 +104,30 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_entities(st["mentions"])
 
 
+def q_kg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level P/R/F1 of the pipeline's triples vs the corpus gold —
+    the engine's port of the reference's entity_level_f1 evaluation
+    (tests/shared/hardware_utils.py:71-131). The oracle asserts the exact
+    quality floor (P = R = 1.0 on the synthetic gold per FIXTURES.md §4);
+    Spark computes it for real from the parsed corpus."""
+    from fonduer_spark.corpus import gold_triples_sql
+    from fonduer_spark.labeling import entity_level_prf1
+
+    got = kg_stages(spark, sf_dir)["triples"].select("subj", "pred", "obj")
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    gold_rows = con.sql(gold_triples_sql()).fetchall()
+    gold = spark.createDataFrame(gold_rows, "subj string, pred string, obj string")
+    m = entity_level_prf1(got, gold, ["subj", "pred", "obj"])
+    return spark.createDataFrame(
+        [(round(m["precision"], 6), round(m["recall"], 6), round(m["f1"], 6))],
+        "precision double, recall double, f1 double",
+    )
+
+
 _KG_CELLS_CTE = """
 WITH docs AS (SELECT doc_id AS i FROM documents),
 tabs AS (
@@ -564,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_candidates_per_doc": q_kg_candidates_per_doc,
         "kg_features": q_kg_features,
         "kg_entities": q_kg_entities,
+        "kg_quality": q_kg_quality,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -598,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": gold_triples_sql(),
         "kg_part_mentions": _KG_PART_MENTIONS_SQL,
         "kg_candidates_per_doc": _KG_CANDS_SQL,
+        "kg_quality": ("SELECT 1.0 AS precision, 1.0 AS recall, 1.0 AS f1"),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SIG_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,

@@ -150,3 +150,19 @@ def test_logreg_learns_separation(spark, stages):
     assert min(pos) > max(neg) or (
         sum(pos) / len(pos) > sum(neg) / len(neg) + 0.2)
     feats.unpersist()
+
+
+def test_config_search_and_merge(tmp_path, monkeypatch):
+    import json
+    from fonduer_spark.config import DEFAULTS, get_config
+
+    sub = tmp_path / "a" / "b"
+    sub.mkdir(parents=True)
+    (tmp_path / ".fonduer-spark.json").write_text(json.dumps(
+        {"featurization": {"textual": {"window_feature": {"size": 5}}}}))
+    cfg = get_config(str(sub))  # found via parent-dir search
+    assert cfg["featurization"]["textual"]["window_feature"]["size"] == 5
+    # untouched defaults survive the merge
+    assert cfg["featurization"]["textual"]["word_feature"]["window"] == 7
+    assert get_config("/")["learning"]["logreg"]["epochs"] == \
+        DEFAULTS["learning"]["logreg"]["epochs"]
