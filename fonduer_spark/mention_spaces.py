@@ -37,6 +37,14 @@ class Ngrams(MentionSpace):
         offsets: List[int] = sentence.char_offsets
         words: List[str] = sentence.words
         L = len(offsets)
+        if self.n_min == 1 and self.n_max == 1 and self.split_rgx is None:
+            # unigram fast path: token spans are distinct by construction,
+            # so the dedup set is pure overhead (the dominant case for
+            # single-token matchers)
+            for i in range(L):
+                start = offsets[i]
+                yield Span(sentence, start, start + len(words[i]) - 1)
+            return
         seen: Set[Span] = set()
         for n in range(self.n_max, self.n_min - 1, -1):  # longest first
             for i in range(L - n + 1):

@@ -367,28 +367,35 @@ def parse_document(
                     xpath, html_tag, html_attrs = structural_attrs(context_node)
             cell = paragraph.cell
             table = cell.table if cell else None
-            rows.append(_row(
-                url, stable_id=stable_id, ctx_type="sentence",
-                position=sent_state["idx"],
-                parent_sid=paragraph.stable_id, name=name,
-                text=parts["text"], words=parts["words"],
-                char_offsets=parts["char_offsets"],
-                abs_char_offsets=abs_char_offsets,
-                lemmas=parts["lemmas"], pos_tags=parts["pos_tags"],
-                ner_tags=parts["ner_tags"], dep_parents=parts["dep_parents"],
-                dep_labels=parts["dep_labels"],
-                xpath=xpath, html_tag=html_tag, html_attrs=html_attrs,
-                section_sid=paragraph.section.stable_id if paragraph.section else None,
-                paragraph_sid=paragraph.stable_id,
-                table_sid=table.stable_id if table else None,
-                cell_sid=cell.stable_id if cell else None,
-                table_position=table.position if table else None,
-                cell_position=cell.position if cell else None,
-                row_start=cell.row_start if cell else None,
-                row_end=cell.row_end if cell else None,
-                col_start=cell.col_start if cell else None,
-                col_end=cell.col_end if cell else None,
-            ))
+            section = paragraph.section
+            # direct dict literal (hot path: one per sentence; dict.fromkeys
+            # + update measured ~40% of this function's time)
+            rows.append({
+                "url": url, "stable_id": stable_id, "ctx_type": "sentence",
+                "position": sent_state["idx"],
+                "parent_sid": paragraph.stable_id, "name": name,
+                "text": parts["text"],
+                "row_start": cell.row_start if cell else None,
+                "row_end": cell.row_end if cell else None,
+                "col_start": cell.col_start if cell else None,
+                "col_end": cell.col_end if cell else None,
+                "fig_url": None,
+                "words": parts["words"],
+                "char_offsets": parts["char_offsets"],
+                "abs_char_offsets": abs_char_offsets,
+                "lemmas": parts["lemmas"], "pos_tags": parts["pos_tags"],
+                "ner_tags": parts["ner_tags"],
+                "dep_parents": parts["dep_parents"],
+                "dep_labels": parts["dep_labels"],
+                "xpath": xpath, "html_tag": html_tag,
+                "html_attrs": html_attrs,
+                "section_sid": section.stable_id if section else None,
+                "paragraph_sid": paragraph.stable_id,
+                "table_sid": table.stable_id if table else None,
+                "cell_sid": cell.stable_id if cell else None,
+                "table_position": table.position if table else None,
+                "cell_position": cell.position if cell else None,
+            })
             sent_state["idx"] += 1
 
     def parse_paragraph(node: Element) -> None:

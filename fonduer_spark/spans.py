@@ -17,10 +17,11 @@ from typing import Any, Dict, List, Optional
 class SentenceView:
     """Attribute view over one sentence row (dict from the contexts frame)."""
 
-    __slots__ = ("row",)
+    __slots__ = ("row", "_hash")
 
     def __init__(self, row: Dict[str, Any]) -> None:
         self.row = row
+        self._hash = None
 
     def __getattr__(self, name: str) -> Any:
         try:
@@ -35,7 +36,10 @@ class SentenceView:
         )
 
     def __hash__(self) -> int:
-        return hash(self.row["stable_id"])
+        h = self._hash
+        if h is None:
+            h = self._hash = hash(self.row["stable_id"])
+        return h
 
     def is_tabular(self) -> bool:
         return self.row.get("cell_sid") is not None
@@ -51,12 +55,13 @@ class SentenceView:
 class Span:
     """A contiguous character range of one sentence (char_end inclusive)."""
 
-    __slots__ = ("sentence", "char_start", "char_end")
+    __slots__ = ("sentence", "char_start", "char_end", "_hash")
 
     def __init__(self, sentence: SentenceView, char_start: int, char_end: int):
         self.sentence = sentence
         self.char_start = char_start
         self.char_end = char_end
+        self._hash = None
 
     # identity = (sentence, char range) — reference span_mention.py:36-58
     def __eq__(self, other: object) -> bool:
@@ -68,7 +73,13 @@ class Span:
         )
 
     def __hash__(self) -> int:
-        return hash(self.sentence) + hash(self.char_start) + hash(self.char_end)
+        h = self._hash
+        if h is None:
+            h = self._hash = (
+                hash(self.sentence) + hash(self.char_start)
+                + hash(self.char_end)
+            )
+        return h
 
     def __len__(self) -> int:
         return self.char_end - self.char_start + 1
