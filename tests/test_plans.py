@@ -76,7 +76,12 @@ def test_minhash_pairs_single_signature_pass(spark):
     shingles feeding the band join."""
     from fonduer_spark.functions.dedup import minhash_lsh_pairs
 
+    import re
+
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(minhash_lsh_pairs(docs, k=8, bands=4))
-    # one generator for shingles per join side, not one per band
-    assert plan.count("Generate") <= 4
+    # 2 shingle explodes + 2 band-key explodes (one per join side) — NOT one
+    # signature subtree per band (2*bands would be 8+)
+    assert len(re.findall(r"Generate \(\d+\)", plan)) == 4
+    # signature = one aggregation per side over exploded shingles
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
