@@ -560,6 +560,70 @@ FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20
 """
 
 
+def q_rel_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage: JSON field extraction from events.props."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_REL_JSON_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (grouping-sets family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+_REL_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls
+"""
+
+
+def q_rel_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no order above 100k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+_REL_ANTIJOIN_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+ORDER BY c_custkey
+"""
+
+
 def q_rel_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
@@ -615,6 +679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_window": q_rel_events_window,
         "rel_topk": q_rel_topk,
         "rel_semijoin": q_rel_semijoin,
+        "rel_json": q_rel_json,
+        "rel_rollup": q_rel_rollup,
+        "rel_antijoin": q_rel_antijoin,
     }
 
 
@@ -641,6 +708,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_window": _REL_EVENTS_SQL,
         "rel_topk": _REL_TOPK_SQL,
         "rel_semijoin": _REL_SEMIJOIN_SQL,
+        "rel_json": _REL_JSON_SQL,
+        "rel_rollup": _REL_ROLLUP_SQL,
+        "rel_antijoin": _REL_ANTIJOIN_SQL,
         # rows-only (non-SQL-expressible by design):
         # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh, mm_features
     }
