@@ -127,3 +127,22 @@ def test_figure_and_caption_binding():
     caps = [r for r in rows if r["ctx_type"] == "caption"]
     # last caption belongs to the figure
     assert caps[-1]["parent_sid"] == fig["stable_id"]
+
+
+def test_unicode_and_entity_robustness():
+    """Emoji/multibyte text and HTML entities survive the parse with
+    consistent offsets."""
+    html = ("<html><body><p>café \U0001f600 naïve. "
+            "a &amp; b &lt;tag&gt;.</p></body></html>")
+    rows = parse_document("u", html, CFG, LP)
+    sents = [r for r in rows if r["ctx_type"] == "sentence"]
+    texts = [s["text"] for s in sents]
+    assert "café 😀 naïve" in texts
+    # entities decoded (like lxml): &amp; -> &, &lt;tag&gt; -> <tag>
+    assert "a & b <tag>" in texts
+    for s in sents:
+        for w, off in zip(s["words"], s["char_offsets"]):
+            assert s["text"][off: off + len(w)] == w
+    # the serialized document re-escapes entities deterministically
+    doc = next(r for r in rows if r["ctx_type"] == "document")
+    assert "&amp;" in doc["text"] and "&lt;tag&gt;" in doc["text"]
