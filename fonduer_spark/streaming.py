@@ -19,6 +19,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .corpus import WEB_PAGES_SCHEMA
 from .mentions_op import MENTION_SCHEMA, MentionSpec
@@ -122,6 +123,50 @@ def run_stream_to_parquet(stream_df: DataFrame, out_dir: str,
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-event_type running (count, sum) totals that persist across stream
+    micro-batches through the state store (the checkpointLocation). Each
+    trigger emits one row per active group with the cumulative totals.
+
+    This is the engine's template for custom stateful operators the built-in
+    windowed aggregations can't express (e.g. cross-batch incremental dedup
+    state keyed by url at ingest time).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("total_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({
+            "event_type": [key[0]],
+            "total_events": [n],
+            "total_value": [round(s, 2)],
+        })
+
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

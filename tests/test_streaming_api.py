@@ -24,6 +24,7 @@ from fonduer_spark.streaming import (
 )
 
 SF = "/root/testdata/sf0.001"
+SF_EVENTS = SF
 
 
 def test_streaming_incremental_mentions(spark, tmp_path):
@@ -101,3 +102,46 @@ def test_api_throttler_count_mismatch(spark):
     with pytest.raises(ValueError):
         CandidateExtractor(spark, [("a", "x", "y"), ("b", "x", "y")],
                            throttlers=[same_row])
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """State persists across micro-batches via the checkpoint: after a
+    second file drop, totals are cumulative (not per-batch)."""
+    import pyspark.sql.functions as SF
+    from fonduer_spark.streaming import stateful_running_totals
+
+    events = spark.read.parquet(f"{SF_EVENTS}/events.parquet")
+    half1 = events.where(SF.col("event_id") % 2 == 0)
+    half2 = events.where(SF.col("event_id") % 2 == 1)
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    half1.write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = (spark.readStream.schema(events.schema)
+                  .parquet(in_dir))
+
+        # update-mode stateful output -> file sink via foreachBatch
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (stateful_running_totals(stream).writeStream
+             .foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    half2.write.mode("append").parquet(in_dir)
+    run_once()
+
+    out = spark.read.parquet(out_dir)
+    # latest totals per event_type == full-batch ground truth
+    latest = (out.groupBy("event_type")
+              .agg(SF.max("total_events").alias("n")))
+    truth = events.groupBy("event_type").count()
+    got = {r.event_type: r.n for r in latest.collect()}
+    want = {r.event_type: r["count"] for r in truth.collect()}
+    assert got == want
