@@ -146,3 +146,59 @@ def test_unicode_and_entity_robustness():
     # the serialized document re-escapes entities deterministically
     doc = next(r for r in rows if r["ctx_type"] == "document")
     assert "&amp;" in doc["text"] and "&lt;tag&gt;" in doc["text"]
+
+
+def test_nested_table_in_cell():
+    """A <table> inside a <td> becomes its own Table whose section is the
+    outer table's section (reference parser.py:277-297 nesting rule)."""
+    html = ("<html><body><table>"
+            "<tr><td>outer.</td>"
+            "<td><table><tr><td>inner.</td></tr></table></td></tr>"
+            "</table></body></html>")
+    rows = parse_document("u", html, CFG, LP)
+    tables = [r for r in rows if r["ctx_type"] == "table"]
+    assert [t["stable_id"] for t in tables] == ["u::table:0", "u::table:1"]
+    # both tables hang off section 0
+    assert {t["parent_sid"] for t in tables} == {"u::section:0"}
+    cells = [r for r in rows if r["ctx_type"] == "cell"]
+    inner = [c for c in cells if c["table_sid"] == "u::table:1"]
+    assert len(inner) == 1 and inner[0]["row_start"] == 0
+    sents = {r["text"]: r for r in rows if r["ctx_type"] == "sentence"}
+    assert sents["inner"]["table_sid"] == "u::table:1"
+    assert sents["outer"]["table_sid"] == "u::table:0"
+
+
+def test_tail_text_after_table():
+    """Text in a node's tail becomes a Paragraph under the enclosing
+    context, visited AFTER the subtree (the DFS tail protocol)."""
+    html = ("<html><body><div>before."
+            "<table><tr><td>cell.</td></tr></table>after tail.</div>"
+            "</body></html>")
+    rows = parse_document("u", html, CFG, LP)
+    sents = [r for r in rows if r["ctx_type"] == "sentence"]
+    texts = [s["text"] for s in sents]
+    # DFS order: div.text, cell.text, table.tail
+    assert texts == ["before", "cell", "after tail"]
+    tail = sents[-1]
+    assert tail["table_sid"] is None  # tail paragraph is NOT tabular
+    # structural context of a tail is the parent node (reference
+    # parser.py:510-513: tail -> getparent())
+    assert tail["html_tag"] == "div"
+
+
+def test_rowspan_occupancy_pushes_next_row():
+    """A rowspan=2 cell occupies its column in the next row, shifting that
+    row's first cell to the next free column (grid resolution,
+    reference parser.py:326-356)."""
+    html = ("<html><body><table>"
+            '<tr><td rowspan="2">a.</td><td>b.</td></tr>'
+            "<tr><td>c.</td></tr>"
+            "</table></body></html>")
+    rows = parse_document("u", html, CFG, LP)
+    cells = {r["stable_id"]: r for r in rows if r["ctx_type"] == "cell"}
+    a = cells["u::cell:0:0:0"]
+    assert (a["row_start"], a["row_end"]) == (0, 1)
+    # c lands at row 1, col 1 (col 0 occupied by a's rowspan)
+    assert "u::cell:0:1:1" in cells
+    c = cells["u::cell:0:1:1"]
+    assert (c["col_start"], c["col_end"]) == (1, 1)
