@@ -138,6 +138,9 @@ def extract_candidates_fused(
     cfg = parse_cfg or ParseConfig()
     render = render or (lambda i, text: render_page(int(i), text))
     spec_list = list(specs)
+    from .mentions_op import _fast_unigram_regex, iter_sentence_mentions
+
+    fast_list = [_fast_unigram_regex(s) for s in spec_list]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lp = SimpleParser(cfg.sentence_delim)
@@ -155,43 +158,9 @@ def extract_candidates_fused(
                 by_type: dict = {}
                 n_mentions = 0
                 for row in rows:
-                    sv = SentenceView(row)
-                    offs = row["char_offsets"]
-                    abs0 = (row["abs_char_offsets"][0] - offs[0]) if offs else 0
-                    for spec in spec_list:
-                        lst = by_type.setdefault(spec.name, [])
-                        for seq, span in enumerate(
-                            spec.matcher.apply(spec.space.apply(sv))
-                        ):
-                            if isinstance(span, ImplicitSpan):
-                                sid = span.get_stable_id()
-                            else:
-                                sid = (f"{url}::span_mention:"
-                                       f"{abs0 + span.char_start}:"
-                                       f"{abs0 + span.char_end}")
-                            lst.append({
-                                "mention_type": spec.name, "url": url,
-                                "stable_id": sid,
-                                "sentence_sid": row["stable_id"],
-                                "sentence_position": row["position"],
-                                "char_start": span.char_start,
-                                "char_end": span.char_end,
-                                "word_start": span.get_word_start_index(),
-                                "word_end": span.get_word_end_index(),
-                                "span_text": span.get_span(),
-                                "emit_seq": seq,
-                                "table_sid": row.get("table_sid"),
-                                "cell_sid": row.get("cell_sid"),
-                                "table_position": row.get("table_position"),
-                                "cell_position": row.get("cell_position"),
-                                "row_start": row.get("row_start"),
-                                "row_end": row.get("row_end"),
-                                "col_start": row.get("col_start"),
-                                "col_end": row.get("col_end"),
-                                "xpath": row.get("xpath"),
-                                "html_tag": row.get("html_tag"),
-                            })
-                            n_mentions += 1
+                    for m in iter_sentence_mentions(row, spec_list, fast_list):
+                        by_type.setdefault(m["mention_type"], []).append(m)
+                        n_mentions += 1
                 if n_mentions > max_mentions_per_doc:
                     continue  # route via the join path (skew overflow)
                 _doc_candidates(

@@ -70,6 +70,89 @@ class MentionSpec:
     matcher: Matcher
 
 
+def _fast_unigram_regex(spec: MentionSpec):
+    """Return the compiled regex for specs that reduce to 'match this token':
+    Ngrams(1,1, no split) + a bare RegexMatchSpan(match, words). For these,
+    spans never overlap so longest-match pruning is a no-op and Span objects
+    are only needed for actual matches — a large constant-factor win on the
+    hot path. Returns None when the generic fused generator must run."""
+    from .matchers import RegexMatchSpan
+    from .mention_spaces import Ngrams
+
+    sp, m = spec.space, spec.matcher
+    if (
+        type(sp) in (Ngrams,) or type(sp).__name__ == "MentionNgrams"
+    ) and sp.n_min == 1 and sp.n_max == 1 and sp.split_rgx is None \
+            and type(m) is RegexMatchSpan and not m.children \
+            and m.attrib == "words" and not m.search and m.sep == "":
+        return m.r
+    return None
+
+
+def iter_sentence_mentions(row: dict, spec_list, fast_list):
+    """Yield mention row-dicts for one sentence row (shared by the modular,
+    fused, streaming, and serving paths — single source of truth for the
+    mention row shape and stable_id math)."""
+    offs = row["char_offsets"]
+    abs0 = (row["abs_char_offsets"][0] - offs[0]) if len(offs) else 0
+    url = row["url"]
+    base = {
+        "url": url,
+        "sentence_sid": row["stable_id"],
+        "sentence_position": row["position"],
+        "table_sid": row.get("table_sid"),
+        "cell_sid": row.get("cell_sid"),
+        "table_position": row.get("table_position"),
+        "cell_position": row.get("cell_position"),
+        "row_start": row.get("row_start"),
+        "row_end": row.get("row_end"),
+        "col_start": row.get("col_start"),
+        "col_end": row.get("col_end"),
+        "xpath": row.get("xpath"),
+        "html_tag": row.get("html_tag"),
+    }
+    sv = None
+    for spec, fast in zip(spec_list, fast_list):
+        if fast is not None:
+            words = row["words"]
+            seq = 0
+            for i in range(len(words)):
+                w = words[i]
+                if fast.match(w) is None:
+                    continue
+                start = offs[i]
+                end = start + len(w) - 1
+                out = dict(base)
+                out.update(
+                    mention_type=spec.name,
+                    stable_id=(f"{url}::span_mention:"
+                               f"{abs0 + start}:{abs0 + end}"),
+                    char_start=start, char_end=end,
+                    word_start=i, word_end=i,
+                    span_text=w, emit_seq=seq,
+                )
+                seq += 1
+                yield out
+            continue
+        if sv is None:
+            sv = SentenceView(row)
+        for seq, span in enumerate(spec.matcher.apply(spec.space.apply(sv))):
+            if isinstance(span, ImplicitSpan):
+                sid = span.get_stable_id()
+            else:
+                sid = (f"{url}::span_mention:"
+                       f"{abs0 + span.char_start}:{abs0 + span.char_end}")
+            out = dict(base)
+            out.update(
+                mention_type=spec.name, stable_id=sid,
+                char_start=span.char_start, char_end=span.char_end,
+                word_start=span.get_word_start_index(),
+                word_end=span.get_word_end_index(),
+                span_text=span.get_span(), emit_seq=seq,
+            )
+            yield out
+
+
 def extract_mentions(
     sentences: DataFrame, specs: Sequence[MentionSpec], dedup: bool = False
 ) -> DataFrame:
@@ -85,48 +168,13 @@ def extract_mentions(
     over a pre-existing mentions table.
     """
     spec_list = list(specs)
+    fast_list = [_fast_unigram_regex(s) for s in spec_list]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: List[dict] = []
             for row in pdf.to_dict("records"):
-                sv = SentenceView(row)
-                abs0 = (row["abs_char_offsets"][0] - row["char_offsets"][0]
-                        if len(row["char_offsets"]) else 0)
-                for spec in spec_list:
-                    for seq, span in enumerate(
-                        spec.matcher.apply(spec.space.apply(sv))
-                    ):
-                        if isinstance(span, ImplicitSpan):
-                            sid = span.get_stable_id()
-                        else:
-                            sid = (
-                                f"{row['url']}::span_mention:"
-                                f"{abs0 + span.char_start}:{abs0 + span.char_end}"
-                            )
-                        out.append({
-                            "mention_type": spec.name,
-                            "url": row["url"],
-                            "stable_id": sid,
-                            "sentence_sid": row["stable_id"],
-                            "sentence_position": row["position"],
-                            "char_start": span.char_start,
-                            "char_end": span.char_end,
-                            "word_start": span.get_word_start_index(),
-                            "word_end": span.get_word_end_index(),
-                            "span_text": span.get_span(),
-                            "emit_seq": seq,
-                            "table_sid": row.get("table_sid"),
-                            "cell_sid": row.get("cell_sid"),
-                            "table_position": row.get("table_position"),
-                            "cell_position": row.get("cell_position"),
-                            "row_start": row.get("row_start"),
-                            "row_end": row.get("row_end"),
-                            "col_start": row.get("col_start"),
-                            "col_end": row.get("col_end"),
-                            "xpath": row.get("xpath"),
-                            "html_tag": row.get("html_tag"),
-                        })
+                out.extend(iter_sentence_mentions(row, spec_list, fast_list))
             yield pd.DataFrame(out, columns=MENTION_COLUMNS)
 
     sel = sentences.where(sentences.ctx_type == "sentence") \
@@ -216,6 +264,7 @@ def extract_mentions_fused(
     cfg = parse_cfg or ParseConfig()
     render = render or (lambda i, text: render_page(int(i), text))
     spec_list = list(specs)
+    fast_list = [_fast_unigram_regex(s) for s in spec_list]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lp = SimpleParser(cfg.sentence_delim)
@@ -231,44 +280,8 @@ def extract_mentions_fused(
                 except Exception:
                     continue  # per-doc isolation (parser.py:236-264)
                 for row in rows:
-                    sv = SentenceView(row)
-                    offs = row["char_offsets"]
-                    abs0 = (row["abs_char_offsets"][0] - offs[0]) if offs else 0
-                    for spec in spec_list:
-                        for seq, span in enumerate(
-                            spec.matcher.apply(spec.space.apply(sv))
-                        ):
-                            if isinstance(span, ImplicitSpan):
-                                sid = span.get_stable_id()
-                            else:
-                                sid = (
-                                    f"{url}::span_mention:"
-                                    f"{abs0 + span.char_start}:"
-                                    f"{abs0 + span.char_end}"
-                                )
-                            out.append({
-                                "mention_type": spec.name,
-                                "url": url,
-                                "stable_id": sid,
-                                "sentence_sid": row["stable_id"],
-                                "sentence_position": row["position"],
-                                "char_start": span.char_start,
-                                "char_end": span.char_end,
-                                "word_start": span.get_word_start_index(),
-                                "word_end": span.get_word_end_index(),
-                                "span_text": span.get_span(),
-                                "emit_seq": seq,
-                                "table_sid": row.get("table_sid"),
-                                "cell_sid": row.get("cell_sid"),
-                                "table_position": row.get("table_position"),
-                                "cell_position": row.get("cell_position"),
-                                "row_start": row.get("row_start"),
-                                "row_end": row.get("row_end"),
-                                "col_start": row.get("col_start"),
-                                "col_end": row.get("col_end"),
-                                "xpath": row.get("xpath"),
-                                "html_tag": row.get("html_tag"),
-                            })
+                    out.extend(
+                        iter_sentence_mentions(row, spec_list, fast_list))
             yield pd.DataFrame(out, columns=MENTION_COLUMNS)
 
     return docs.select("doc_id", "text").mapInPandas(fn, MENTION_SCHEMA)

@@ -49,11 +49,12 @@ def stream_mentions(pages: DataFrame, specs: Sequence[MentionSpec],
     import pandas as pd
 
     from .lingual import SimpleParser
+    from .mentions_op import _fast_unigram_regex, iter_sentence_mentions
     from .parse import parse_document
-    from .spans import SentenceView
 
     cfg = cfg or ParseConfig()
     spec_list = list(specs)
+    fast_list = [_fast_unigram_regex(s) for s in spec_list]
 
     def fn(batches):
         lp = SimpleParser(cfg.sentence_delim)
@@ -68,38 +69,8 @@ def stream_mentions(pages: DataFrame, specs: Sequence[MentionSpec],
                 except Exception:
                     continue
                 for row in rows:
-                    sv = SentenceView(row)
-                    offs = row["char_offsets"]
-                    abs0 = (row["abs_char_offsets"][0] - offs[0]) if offs else 0
-                    for spec in spec_list:
-                        for seq, span in enumerate(
-                            spec.matcher.apply(spec.space.apply(sv))
-                        ):
-                            out.append({
-                                "mention_type": spec.name, "url": url,
-                                "stable_id": (
-                                    f"{url}::span_mention:"
-                                    f"{abs0 + span.char_start}:"
-                                    f"{abs0 + span.char_end}"),
-                                "sentence_sid": row["stable_id"],
-                                "sentence_position": row["position"],
-                                "char_start": span.char_start,
-                                "char_end": span.char_end,
-                                "word_start": span.get_word_start_index(),
-                                "word_end": span.get_word_end_index(),
-                                "span_text": span.get_span(),
-                                "emit_seq": seq,
-                                "table_sid": row.get("table_sid"),
-                                "cell_sid": row.get("cell_sid"),
-                                "table_position": row.get("table_position"),
-                                "cell_position": row.get("cell_position"),
-                                "row_start": row.get("row_start"),
-                                "row_end": row.get("row_end"),
-                                "col_start": row.get("col_start"),
-                                "col_end": row.get("col_end"),
-                                "xpath": row.get("xpath"),
-                                "html_tag": row.get("html_tag"),
-                            })
+                    out.extend(
+                        iter_sentence_mentions(row, spec_list, fast_list))
             yield pd.DataFrame(
                 out, columns=[f.name for f in MENTION_SCHEMA.fields])
 
