@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from .mentions_op import MENTION_COLUMNS, MentionSpec
-from .spans import ImplicitSpan, SentenceView
 
 def _mention_schema_fields():
     from .mentions_op import MENTION_SCHEMA

@@ -18,7 +18,6 @@ from .candidates_fused import PyThrottler, _doc_candidates, same_row_py
 from .lingual import SimpleParser
 from .mentions_op import MentionSpec
 from .parse import ParseConfig, parse_document
-from .spans import ImplicitSpan, SentenceView
 
 
 class FonduerPipelineModel:
@@ -52,41 +51,15 @@ class FonduerPipelineModel:
 
     # -- the per-document chain (fonduer_model.py:81-105 shape) -------------
     def _mentions(self, url: str, html: str) -> Dict[str, List[dict]]:
+        from .mentions_op import _fast_unigram_regex, iter_sentence_mentions
+
+        fast = [_fast_unigram_regex(s) for s in self.specs]
         rows = parse_document(url, html, self.cfg, self._lp,
                               emit_types={"sentence"})
         by_type: Dict[str, List[dict]] = {}
         for row in rows:
-            sv = SentenceView(row)
-            offs = row["char_offsets"]
-            abs0 = (row["abs_char_offsets"][0] - offs[0]) if offs else 0
-            for spec in self.specs:
-                lst = by_type.setdefault(spec.name, [])
-                for seq, span in enumerate(
-                    spec.matcher.apply(spec.space.apply(sv))
-                ):
-                    sid = (span.get_stable_id() if isinstance(span, ImplicitSpan)
-                           else f"{url}::span_mention:"
-                                f"{abs0 + span.char_start}:{abs0 + span.char_end}")
-                    lst.append({
-                        "mention_type": spec.name, "url": url,
-                        "stable_id": sid, "sentence_sid": row["stable_id"],
-                        "sentence_position": row["position"],
-                        "char_start": span.char_start,
-                        "char_end": span.char_end,
-                        "word_start": span.get_word_start_index(),
-                        "word_end": span.get_word_end_index(),
-                        "span_text": span.get_span(), "emit_seq": seq,
-                        "table_sid": row.get("table_sid"),
-                        "cell_sid": row.get("cell_sid"),
-                        "table_position": row.get("table_position"),
-                        "cell_position": row.get("cell_position"),
-                        "row_start": row.get("row_start"),
-                        "row_end": row.get("row_end"),
-                        "col_start": row.get("col_start"),
-                        "col_end": row.get("col_end"),
-                        "xpath": row.get("xpath"),
-                        "html_tag": row.get("html_tag"),
-                    })
+            for m in iter_sentence_mentions(row, self.specs, fast):
+                by_type.setdefault(m["mention_type"], []).append(m)
         return by_type
 
     def classify(self, url: str, html: str) -> List[Tuple[str, str, str, float]]:
