@@ -70,14 +70,22 @@ class SnapshotTable:
         return Snapshot(self.name, s["snapshot_id"], s["n_rows"],
                         s["wall_ms"], s["path"], s.get("signature"))
 
-    def commit(self, df: DataFrame, signature: Optional[str] = None) -> Snapshot:
-        """Write df as the next snapshot; atomic via temp-dir + rename."""
+    def commit(self, df: DataFrame, signature: Optional[str] = None,
+               partition_by: Optional[list] = None) -> Snapshot:
+        """Write df as the next snapshot; atomic via temp-dir + rename.
+
+        ``partition_by``: hive-style partition columns (e.g. the triples
+        graph table partitions by pred — the parquet analogue of a
+        partitioned Iceberg table)."""
         t0 = time.time()
         man = self._read_manifest()
         next_id = 1 + max((s["snapshot_id"] for s in man["snapshots"]),
                           default=0)
         tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         final = os.path.join(self.dir, f"snapshot={next_id}")
         os.rename(tmp, final)  # commit point
         spark = df.sparkSession
@@ -122,7 +130,8 @@ class CheckpointedPipeline:
         self.signature = signature
         self.events: list = []
 
-    def stage(self, name: str, build) -> DataFrame:
+    def stage(self, name: str, build, partition_by: Optional[list] = None
+              ) -> DataFrame:
         table = SnapshotTable(self.root, name)
         existing = table.latest(self.signature)
         if existing is not None:
@@ -130,7 +139,7 @@ class CheckpointedPipeline:
                                 existing.n_rows, 0))
             return table.read(self.spark, existing.snapshot_id)
         t0 = time.time()
-        snap = table.commit(build(), self.signature)
+        snap = table.commit(build(), self.signature, partition_by=partition_by)
         self.events.append(("compute", name, snap.snapshot_id, snap.n_rows,
                             int((time.time() - t0) * 1000)))
         return table.read(self.spark, snap.snapshot_id)

@@ -173,6 +173,7 @@ def run_checkpointed(
     triples = cp.stage(
         "triples",
         lambda: materialize_triples(scored, pred=PRED, prob_threshold=0.5),
+        partition_by=["pred"],  # partitioned graph table (north_rule)
     )
     cp.checkpoints()
     return {
