@@ -96,6 +96,28 @@ def get_between_ngrams_col(sent_words: Column, a_we: Column, b_ws: Column) -> Co
     return F.slice(sent_words, a_we + 2, F.greatest(F.lit(0), b_ws - a_we - 1))
 
 
+def get_left_ngrams_col(sent_words: Column, word_start: Column,
+                        window: int = 3) -> Column:
+    """Up to ``window`` tokens left of a span (reference get_left_ngrams,
+    textual.py:51-88) — pure array slicing over the denormalized columns."""
+    start = F.greatest(F.lit(1), word_start - window + 1)
+    return F.slice(sent_words, start,
+                   F.greatest(F.lit(0), word_start + 1 - start))
+
+
+def get_right_ngrams_col(sent_words: Column, word_end: Column,
+                         window: int = 3) -> Column:
+    """Up to ``window`` tokens right of a span (reference get_right_ngrams,
+    textual.py:91-128)."""
+    return F.slice(sent_words, word_end + 2, window)
+
+
+def get_sentence_ngrams_col(sent_words: Column) -> Column:
+    """All tokens of the span's sentence (reference get_sentence_ngrams,
+    textual.py:131-147)."""
+    return sent_words
+
+
 # ---------------------------------------------------------------------------
 # 3. row-level python helpers for pandas LFs (reference utils.py:40-84)
 # ---------------------------------------------------------------------------

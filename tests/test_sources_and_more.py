@@ -166,3 +166,36 @@ def test_config_search_and_merge(tmp_path, monkeypatch):
     assert cfg["featurization"]["textual"]["word_feature"]["window"] == 7
     assert get_config("/")["learning"]["logreg"]["epochs"] == \
         DEFAULTS["learning"]["logreg"]["epochs"]
+
+
+def test_window_column_helpers(spark):
+    from fonduer_spark.data_model_utils import (
+        get_between_ngrams_col, get_left_ngrams_col, get_right_ngrams_col)
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c", "d", "e", "f"], 2, 2, 4)],
+        "words array<string>, ws int, we int, b_ws int")
+    r = df.select(
+        get_left_ngrams_col(F.col("words"), F.col("ws"), 2).alias("l"),
+        get_right_ngrams_col(F.col("words"), F.col("we"), 2).alias("r"),
+        get_between_ngrams_col(F.col("words"), F.col("we"), F.col("b_ws"))
+        .alias("btw"),
+    ).collect()[0]
+    assert r.l == ["a", "b"]        # the 2 tokens immediately left of index 2
+    assert r.r == ["d", "e"]        # 2 tokens right of index 2
+    assert r.btw == ["d"]           # strictly between we=2 and b_ws=4
+
+
+def test_concat_separator_check():
+    from fonduer_spark.matchers import Concat, RegexMatchSpan
+    from tests.test_matchers import sent
+
+    num = RegexMatchSpan(rgx=r"\d+")
+    word = RegexMatchSpan(rgx=r"[A-Za-z]+")
+    sv = sent("10 Obama")
+    # sep=' ' with ignore_sep=False: the split char must BE the separator
+    got = [m.get_span() for m in
+           Concat(num, word, ignore_sep=False, sep=" ").apply(
+               __import__("fonduer_spark.mention_spaces",
+                          fromlist=["Ngrams"]).Ngrams(n_max=2).apply(sv))]
+    assert got == ["10 Obama"]
