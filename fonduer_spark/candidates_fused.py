@@ -51,6 +51,14 @@ def candidate_schema() -> T.StructType:
 CANDIDATE_SCHEMA = candidate_schema()
 CANDIDATE_COLUMNS = [f.name for f in CANDIDATE_SCHEMA.fields]
 
+# slim output: only what labeling + triple materialization consume — cuts
+# the per-row pandas/Arrow transfer ~7x on the hot path
+SLIM_COLUMNS = ["candidate_type", "split", "candidate_sid", "url",
+                "a_stable_id", "b_stable_id", "a_span_text", "b_span_text"]
+CANDIDATE_SCHEMA_SLIM = T.StructType(
+    [f for f in CANDIDATE_SCHEMA.fields if f.name in SLIM_COLUMNS])
+SLIM_COLUMNS = [f.name for f in CANDIDATE_SCHEMA_SLIM.fields]
+
 PyThrottler = Callable[[dict, dict], bool]
 
 
@@ -74,6 +82,7 @@ def _doc_candidates(
     symmetric_relations: bool,
     split: int,
     out: List[dict],
+    slim: bool = False,
 ) -> None:
     """Product + filters for one document (reference candidates.py:248-325
     semantics, including filter order)."""
@@ -96,6 +105,17 @@ def _doc_candidates(
             ):
                 continue
             if not symmetric_relations and ai > bi:
+                continue
+            if slim:
+                out.append({
+                    "candidate_type": candidate_type, "split": split,
+                    "candidate_sid": f"{a['stable_id']}~~{b['stable_id']}",
+                    "url": a["url"],
+                    "a_stable_id": a["stable_id"],
+                    "b_stable_id": b["stable_id"],
+                    "a_span_text": a["span_text"],
+                    "b_span_text": b["span_text"],
+                })
                 continue
             row = {}
             for k in MENTION_COLUMNS:
@@ -122,6 +142,7 @@ def extract_candidates_fused(
     render=None,
     parse_cfg=None,
     max_mentions_per_doc: int = 10_000,
+    slim: bool = False,
 ) -> DataFrame:
     """(doc_id, text) -> candidate rows, one python stage, no shuffle.
 
@@ -165,8 +186,10 @@ def extract_candidates_fused(
                 _doc_candidates(
                     by_type, candidate_type, type_a, type_b, throttler,
                     self_relations, nested_relations, symmetric_relations,
-                    split, out,
+                    split, out, slim=slim,
                 )
-            yield pd.DataFrame(out, columns=CANDIDATE_COLUMNS)
+            cols = SLIM_COLUMNS if slim else CANDIDATE_COLUMNS
+            yield pd.DataFrame(out, columns=cols)
 
-    return docs.select("doc_id", "text").mapInPandas(fn, CANDIDATE_SCHEMA)
+    schema = CANDIDATE_SCHEMA_SLIM if slim else CANDIDATE_SCHEMA
+    return docs.select("doc_id", "text").mapInPandas(fn, schema)

@@ -101,6 +101,7 @@ def kg_stages(
             throttler=same_row, throttler_kind="column",
             salt_buckets=salt_buckets,
         )
+        scored_input = candidates
     else:
         from .candidates_fused import extract_candidates_fused, same_row_py
 
@@ -108,7 +109,15 @@ def kg_stages(
             docs, default_mention_specs(), "part_temp", "part", "temp",
             throttler=same_row_py,
         )
-    scored = with_marginals(candidates, default_lfs())
+        # label/triple path reads a SLIM variant (8 columns instead of 46):
+        # same rows, ~7x less pandas/Arrow transfer. The wide `candidates`
+        # frame stays available for featurization queries (lazy — only the
+        # lineage a caller uses is computed).
+        scored_input = extract_candidates_fused(
+            docs, default_mention_specs(), "part_temp", "part", "temp",
+            throttler=same_row_py, slim=True,
+        )
+    scored = with_marginals(scored_input, default_lfs())
     triples = materialize_triples(scored, pred=PRED, prob_threshold=0.5)
     return {
         "web_pages": pages,
