@@ -105,14 +105,39 @@ def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_iter: int = 20,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Smallest-label propagation: (vertex, component) with component = the
     lexicographically smallest reachable vertex.
 
     ``vertices``: single column 'v'; ``edges``: columns 'a','b' (undirected).
-    Pure DataFrame loop; each round: labels propagate across edges, then
-    groupBy-min. Convergence checked via a count of changed labels.
+
+    Physical strategy by size (the usual CC hybrid): below
+    ``driver_threshold`` total rows the graph is collected and solved with
+    union-find in one pass (the iterative-job overhead dominates tiny
+    graphs); above it, a pure DataFrame loop — each round: labels propagate
+    across edges, then groupBy-min, localCheckpoint to truncate lineage.
     """
+    n = vertices.count() + edges.count()
+    if n <= driver_threshold:
+        vs = [r.v for r in vertices.collect()]
+        parent = {v: v for v in vs}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.select("a", "b").collect():
+            if r.a in parent and r.b in parent:
+                ra, rb = find(r.a), find(r.b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        spark = vertices.sparkSession
+        return spark.createDataFrame(
+            [(v, find(v)) for v in vs], "v string, component string")
     sym = edges.select("a", "b").unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

@@ -58,3 +58,16 @@ def test_canonical_entities_and_triple_rewrite(spark):
     out = {(r.subj, r.obj) for r in canonicalize_triples(
         triples, ents).collect()}
     assert out == {("PN100A", "85"), ("ZZ999X", "90")}
+
+
+def test_connected_components_distributed_path(spark):
+    """Force the DataFrame-loop strategy (driver_threshold=0) and check it
+    matches the driver-side union-find result."""
+    vertices = spark.createDataFrame([(v,) for v in "abcdefg"], "v string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "a string, b string")
+    dist = {r.v: r.component for r in connected_components(
+        vertices, edges, driver_threshold=0).collect()}
+    drv = {r.v: r.component for r in connected_components(
+        vertices, edges).collect()}
+    assert dist == drv
