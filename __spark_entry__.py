@@ -104,6 +104,22 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_entities(st["mentions"])
 
 
+def q_kg_triples_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second relation from the same candidates: label-model NEGATIVES with
+    a negative object are the stg_temp_min triples — demonstrating
+    multi-relation output from one candidate set."""
+    from fonduer_spark.triples import materialize_triples
+
+    scored = kg_stages(spark, sf_dir)["scored"]
+    neg = scored.where(
+        (F.col("prob") < 0.5) & (F.col("b_span_text").try_cast("int") < 0))
+    return (
+        materialize_triples(neg, pred="stg_temp_min", prob_threshold=0.0)
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "obj")
+    )
+
+
 def q_kg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-level P/R/F1 of the pipeline's triples vs the corpus gold —
     the engine's port of the reference's entity_level_f1 evaluation
@@ -149,6 +165,15 @@ _KG_CANDS_SQL = _KG_CELLS_CTE + """
 SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
        CAST(2 * count(*) AS BIGINT) AS n_candidates
 FROM cells GROUP BY i ORDER BY url
+"""
+
+_KG_TRIPLES_MIN_SQL = _KG_CELLS_CTE + """
+SELECT DISTINCT
+  'PN' || CAST((i*17 + t*5 + r*3) % 900 + 100 AS VARCHAR)
+       || chr(CAST(65 + ((i + r) % 3) AS INTEGER)) AS subj,
+  'stg_temp_min' AS pred,
+  CAST(-(40 + ((i + r) % 30)) AS VARCHAR) AS obj
+FROM cells ORDER BY subj, obj
 """
 
 
@@ -648,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (Fonduer semantics)
         "kg_triples": q_kg_triples,
+        "kg_triples_min": q_kg_triples_min,
         "kg_part_mentions": q_kg_part_mentions,
         "kg_candidates_per_doc": q_kg_candidates_per_doc,
         "kg_features": q_kg_features,
@@ -688,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples": gold_triples_sql(),
+        "kg_triples_min": _KG_TRIPLES_MIN_SQL,
         "kg_part_mentions": _KG_PART_MENTIONS_SQL,
         "kg_candidates_per_doc": _KG_CANDS_SQL,
         "kg_quality": ("SELECT 1.0 AS precision, 1.0 AS recall, 1.0 AS f1"),

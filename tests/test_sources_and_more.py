@@ -199,3 +199,17 @@ def test_concat_separator_check():
                __import__("fonduer_spark.mention_spaces",
                           fromlist=["Ngrams"]).Ngrams(n_max=2).apply(sv))]
     assert got == ["10 Obama"]
+
+
+def test_with_row_ngrams_join(spark, stages):
+    from fonduer_spark.data_model_utils import with_row_ngrams
+
+    cands = stages["candidates"].limit(50)
+    joined = with_row_ngrams(cands, stages["parsed"], slot="b_")
+    rows = joined.where(F.col("b_row_ngrams").isNotNull()).limit(5).collect()
+    assert rows
+    for r in rows:
+        # the row vocabulary contains the temp's own token
+        assert r.b_span_text.lower() in r.b_row_ngrams
+        # and the part code that shares its row
+        assert r.a_span_text.lower() in r.b_row_ngrams
