@@ -14,8 +14,8 @@ queries()/oracle_sql() -> one entry per implemented operator family:
                   scan/filter/agg/join/window/set-op/sort-limit.
 
 Non-SQL-expressible ops (LSH-ANN with numpy hyperplanes, SimHash bit voting,
-multimodal feature stub, full LSH pair generation) intentionally omit the
-oracle -> the driver records the weaker rows-only check.
+full LSH pair generation) intentionally omit the oracle -> the driver records
+the weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -420,14 +420,43 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: the decode stub is deterministic-fake (libs absent)
+    """Multimodal feature extraction, canonicalized: the fake decoder derives
+    each feature i from md5(payload) bytes [2i, 2i+2) as round(int/65536, 6);
+    posexplode + de-quantize (round(value * 65536)) recovers the exact
+    integer, making the whole mapInPandas stage oracle-checkable in SQL."""
     media = mm.media_from_docs(_docs(spark, sf_dir))
-    return mm.extract_features(media, decoder="fake")
+    feats = mm.extract_features(media, decoder="fake")
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("features").alias("idx", "value"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("idx").cast("long").alias("idx"),
+        F.round(F.col("value") * 65536).cast("long").alias("qval"),
+    )
 
 
 _MM_META_SQL = """
 SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents ORDER BY media_id
+"""
+
+# hex nibble -> int via strpos; feature i of the fake decoder is the big-endian
+# 16-bit int at md5-hex chars [4i+1, 4i+4]
+_MM_NIBBLE = "(strpos('0123456789abcdef', substring(h, 4*idx+{off}, 1)) - 1)"
+_MM_QVAL = " + ".join(
+    f"{_MM_NIBBLE.format(off=o + 1)} * {16 ** (3 - o)}" for o in range(4)
+)
+_MM_FEATURES_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(idx AS BIGINT) AS idx,
+       CAST({_MM_QVAL} AS BIGINT) AS qval
+FROM (SELECT doc_id, text, md5(text) AS h FROM documents),
+     (SELECT unnest(range(8)) AS idx)
+ORDER BY media_id, idx
 """
 
 
@@ -727,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FINGERPRINT_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "mm_meta": _MM_META_SQL,
+        "mm_features": _MM_FEATURES_SQL,
         "rel_agg": _REL_AGG_SQL,
         "rel_join": _REL_JOIN_SQL,
         "rel_filter_agg": _REL_FILTER_AGG_SQL,
@@ -739,5 +769,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_rollup": _REL_ROLLUP_SQL,
         "rel_antijoin": _REL_ANTIJOIN_SQL,
         # rows-only (non-SQL-expressible by design):
-        # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh, mm_features
+        # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh
     }
