@@ -120,6 +120,75 @@ def q_kg_triples_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_feature_rowcol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular head-ngram features, oracle-checked: candidates whose object
+    slot carries e1_COL_HEAD_WORDS_[max] (the column-head vocabulary joined
+    in by featurize) are exactly the (part, temp_max) pairs — one per body
+    row per table, reconstructible from the corpus formulas."""
+    from fonduer_spark.featurize import featurize
+
+    st = kg_stages(spark, sf_dir)
+    feats = featurize(st["candidates"], st["sentences"])
+    return (
+        feats.where(F.array_contains("keys", "e1_COL_HEAD_WORDS_[max]"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("url")
+    )
+
+
+def q_kg_triples_headerlf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gold triples derived via a *head-ngram vocabulary LF* instead of
+    the numeric-sign LF: with_head_ngrams joins each object mention's
+    column-head cell vocabulary; the LF votes TRUE iff it contains 'max'
+    (the relational form of the reference's get_head_ngrams LF pattern,
+    hardware_lfs.py). One LF -> prob 1.0/0.0; threshold 0.75 also drops
+    abstains (missing vocab)."""
+    from fonduer_spark.data_model_utils import with_head_ngrams
+    from fonduer_spark.labeling import with_marginals
+    from fonduer_spark.triples import materialize_triples
+
+    st = kg_stages(spark, sf_dir)
+    cands = with_head_ngrams(st["candidates"], st["sentences"],
+                             slot="b_", axis="col")
+    lfs = {
+        "lf_col_header_max": F.when(
+            F.arrays_overlap(F.col("b_col_head_ngrams"),
+                             F.array(F.lit("max"))), 1
+        ).otherwise(0),
+    }
+    scored = with_marginals(cands, lfs)
+    return (
+        materialize_triples(scored, pred=PRED, prob_threshold=0.75)
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "obj")
+    )
+
+
+def q_kg_ner_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NER-matcher path, oracle-checked: parse with the deterministic
+    RegexTaggerParser (rule-based POS/NER; the spaCy-free stand-in), then
+    extract NumberMatcher mentions (RegexMatchEach over ner_tags =
+    CARDINAL). Per doc: 3 standalone numbers (title, h1, figcaption) +
+    2 per table caption + 2 temps per body row — pure corpus arithmetic."""
+    from fonduer_spark.corpus import load_docs
+    from fonduer_spark.matchers import NumberMatcher
+    from fonduer_spark.mention_spaces import MentionNgrams
+    from fonduer_spark.mentions_op import MentionSpec, extract_mentions_fused
+    from fonduer_spark.parse import ParseConfig
+
+    docs = load_docs(spark, sf_dir)
+    specs = [MentionSpec("number", MentionNgrams(n_min=1, n_max=1),
+                         NumberMatcher())]
+    m = extract_mentions_fused(
+        docs, specs, parse_cfg=ParseConfig(lingual="regex_tagger"))
+    return (
+        m.groupBy("url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("url")
+    )
+
+
 def q_kg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-level P/R/F1 of the pipeline's triples vs the corpus gold —
     the engine's port of the reference's entity_level_f1 evaluation
@@ -165,6 +234,21 @@ _KG_CANDS_SQL = _KG_CELLS_CTE + """
 SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
        CAST(2 * count(*) AS BIGINT) AS n_candidates
 FROM cells GROUP BY i ORDER BY url
+"""
+
+_KG_FEATURE_ROWCOL_SQL = _KG_CELLS_CTE + """
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       CAST(count(*) AS BIGINT) AS n
+FROM cells GROUP BY i ORDER BY url
+"""
+
+_KG_NER_NUMBERS_SQL = _KG_CELLS_CTE + """
+, tc AS (SELECT i, count(*) AS nt FROM tabs GROUP BY i)
+, cc AS (SELECT i, count(*) AS nc FROM cells GROUP BY i)
+SELECT 'https://fixture.test/d' || lpad(CAST(d.i AS VARCHAR), 6, '0') AS url,
+       CAST(3 + 2*tc.nt + 2*cc.nc AS BIGINT) AS n
+FROM docs d JOIN tc ON tc.i = d.i JOIN cc ON cc.i = d.i
+ORDER BY url
 """
 
 _KG_TRIPLES_MIN_SQL = _KG_CELLS_CTE + """
@@ -703,6 +787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline (Fonduer semantics)
         "kg_triples": q_kg_triples,
         "kg_triples_min": q_kg_triples_min,
+        "kg_triples_headerlf": q_kg_triples_headerlf,
+        "kg_feature_rowcol": q_kg_feature_rowcol,
+        "kg_ner_numbers": q_kg_ner_numbers,
         "kg_part_mentions": q_kg_part_mentions,
         "kg_candidates_per_doc": q_kg_candidates_per_doc,
         "kg_features": q_kg_features,
@@ -744,6 +831,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples": gold_triples_sql(),
         "kg_triples_min": _KG_TRIPLES_MIN_SQL,
+        "kg_triples_headerlf": gold_triples_sql(),
+        "kg_feature_rowcol": _KG_FEATURE_ROWCOL_SQL,
+        "kg_ner_numbers": _KG_NER_NUMBERS_SQL,
         "kg_part_mentions": _KG_PART_MENTIONS_SQL,
         "kg_candidates_per_doc": _KG_CANDS_SQL,
         "kg_quality": ("SELECT 1.0 AS precision, 1.0 AS recall, 1.0 AS f1"),

@@ -61,6 +61,10 @@ SLIM_COLUMNS = [f.name for f in CANDIDATE_SCHEMA_SLIM.fields]
 
 PyThrottler = Callable[[dict, dict], bool]
 
+# candidate_type of the hot-doc overflow marker rows emitted by the fused
+# stage (one per over-cap document; all other columns null except url/split)
+OVERFLOW_TYPE = "_overflow"
+
 
 def same_row_py(a: dict, b: dict) -> bool:
     """Python twin of candidates_op.same_row for the fused path."""
@@ -147,9 +151,13 @@ def extract_candidates_fused(
     """(doc_id, text) -> candidate rows, one python stage, no shuffle.
 
     Hot-doc guard: a document whose mention count exceeds
-    ``max_mentions_per_doc`` would make this task quadratic — it is skipped
-    here and should be routed through the join path (its url is emitted on
-    the ``_overflow`` side channel as a candidate row with null b_*).
+    ``max_mentions_per_doc`` would make this task quadratic — its product is
+    NOT computed here; instead one marker row with
+    ``candidate_type = OVERFLOW_TYPE`` (url/split set, mention columns null)
+    is emitted so the overflow is detectable. ``extract_candidates_auto``
+    consumes the markers and routes those documents through the relational
+    join path (salted/AQE — built for skew); callers using this function
+    directly must filter or route the markers themselves.
     """
     from .corpus import render_page, url_of
     from .lingual import SimpleParser
@@ -163,7 +171,7 @@ def extract_candidates_fused(
     fast_list = [_fast_unigram_regex(s) for s in spec_list]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lp = SimpleParser(cfg.sentence_delim)
+        lp = cfg.make_lingual_parser()
         for pdf in batches:
             out: List[dict] = []
             for i, text in zip(pdf["doc_id"], pdf["text"]):
@@ -182,7 +190,16 @@ def extract_candidates_fused(
                         by_type.setdefault(m["mention_type"], []).append(m)
                         n_mentions += 1
                 if n_mentions > max_mentions_per_doc:
-                    continue  # route via the join path (skew overflow)
+                    # skew overflow: emit the marker row (url only) so the
+                    # doc is detectable and routable via the join path
+                    # (extract_candidates_auto); never silently dropped
+                    marker = dict.fromkeys(
+                        SLIM_COLUMNS if slim else CANDIDATE_COLUMNS)
+                    marker["candidate_type"] = OVERFLOW_TYPE
+                    marker["url"] = url
+                    marker["split"] = split
+                    out.append(marker)
+                    continue
                 _doc_candidates(
                     by_type, candidate_type, type_a, type_b, throttler,
                     self_relations, nested_relations, symmetric_relations,
@@ -193,3 +210,79 @@ def extract_candidates_fused(
 
     schema = CANDIDATE_SCHEMA_SLIM if slim else CANDIDATE_SCHEMA
     return docs.select("doc_id", "text").mapInPandas(fn, schema)
+
+
+def extract_candidates_auto(
+    docs: DataFrame,
+    specs: Sequence[MentionSpec],
+    candidate_type: str,
+    type_a: str,
+    type_b: str,
+    py_throttler: Optional[PyThrottler] = None,
+    column_throttler=None,
+    self_relations: bool = False,
+    nested_relations: bool = False,
+    symmetric_relations: bool = True,
+    split: int = 0,
+    render=None,
+    parse_cfg=None,
+    max_mentions_per_doc: int = 10_000,
+    slim: bool = False,
+    salt_buckets: int = 8,
+    persist: bool = True,
+) -> DataFrame:
+    """Fused candidate generation with hot-doc overflow ROUTED, not dropped.
+
+    Normal documents take the fused single-stage path; documents whose
+    mention count exceeds ``max_mentions_per_doc`` emit only an overflow
+    marker, are re-selected from ``docs`` (broadcast semi-join on the tiny
+    marker set), and their quadratic product runs through the relational
+    join path with explicit salting — the strategy built for skew
+    (candidates_op.extract_candidates). The union is row-identical to
+    running either strategy alone (asserted in tests).
+
+    ``py_throttler``/``column_throttler`` must be the same predicate in its
+    two physical forms (e.g. same_row_py / same_row); overflow docs use the
+    column form so Catalyst pushes it into the join.
+
+    ``persist=True`` (default) caches the fused output so the marker scan
+    does not re-run the parse stage — the normal branch and the marker
+    branch both read the cached frame (one parse pass total). Long-lived
+    drivers building many pipelines should unpersist or rely on LRU block
+    eviction.
+    """
+    from pyspark.sql import functions as F
+
+    from .candidates_op import extract_candidates
+    from .mentions_op import extract_mentions_fused
+
+    fused = extract_candidates_fused(
+        docs, specs, candidate_type, type_a, type_b,
+        throttler=py_throttler, self_relations=self_relations,
+        nested_relations=nested_relations,
+        symmetric_relations=symmetric_relations, split=split,
+        render=render, parse_cfg=parse_cfg,
+        max_mentions_per_doc=max_mentions_per_doc, slim=slim,
+    )
+    if persist:
+        fused = fused.persist()
+    normal = fused.where(F.col("candidate_type") != OVERFLOW_TYPE)
+    # marker urls -> doc ids (url = corpus.url_of(doc_id) = ...d<id>)
+    over_ids = (
+        fused.where(F.col("candidate_type") == OVERFLOW_TYPE)
+        .select(
+            F.regexp_extract("url", r"d(\d+)$", 1).cast("long").alias("doc_id")
+        )
+    )
+    over_docs = docs.join(F.broadcast(over_ids), "doc_id")
+    mentions_o = extract_mentions_fused(
+        over_docs, specs, render=render, parse_cfg=parse_cfg)
+    cands_o = extract_candidates(
+        mentions_o, candidate_type, type_a, type_b,
+        throttler=column_throttler, throttler_kind="column",
+        self_relations=self_relations, nested_relations=nested_relations,
+        symmetric_relations=symmetric_relations, split=split,
+        salt_buckets=salt_buckets,
+    )
+    cols = SLIM_COLUMNS if slim else CANDIDATE_COLUMNS
+    return normal.select(*cols).unionByName(cands_o.select(*cols))

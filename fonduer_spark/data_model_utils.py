@@ -69,6 +69,103 @@ def with_row_ngrams(candidates: DataFrame, sentences: DataFrame,
     ).drop(vocab.url).drop(vocab.table_sid).drop(vocab.row)
 
 
+def _cell_grams(sentences: DataFrame, n_max: int) -> DataFrame:
+    """Exploded (url, table_sid, cell_sid, row_start, col_start, g) frame of
+    lowercased 1..n_max-grams over tabular sentences."""
+    from .featurize import _lower_ngrams_col
+
+    sent = (
+        sentences.where(F.col("ctx_type") == "sentence")
+        if "ctx_type" in sentences.columns else sentences
+    )
+    return sent.where(F.col("cell_sid").isNotNull()).select(
+        "url", "table_sid", "cell_sid", "row_start", "col_start",
+        F.explode(_lower_ngrams_col(F.col("words"), n_max)).alias("g"),
+    )
+
+
+def cell_ngrams(sentences: DataFrame, n_max: int = 1) -> DataFrame:
+    """(url, cell_sid) -> ngrams[]: every 1..n_max-gram appearing in the cell
+    (reference get_cell_ngrams, tabular.py:219-258, relationally — one
+    aggregation instead of a per-candidate cell walk)."""
+    return (
+        _cell_grams(sentences, n_max)
+        .groupBy("url", "cell_sid")
+        .agg(F.array_distinct(F.collect_list("g")).alias("ngrams"))
+    )
+
+
+def head_ngrams(sentences: DataFrame, axis: str = "row",
+                n_max: int = 1) -> DataFrame:
+    """(url, table_sid, row|col) -> ngrams[] of the axis head cell: the
+    col-0 cell of each row (axis='row') or the row-0 cell of each column
+    (axis='col') — reference get_head_ngrams (tabular.py:437-470).
+    Join back on the mention's (url, table_sid, row_start|col_start)."""
+    ex = _cell_grams(sentences, n_max)
+    if axis == "row":
+        ex = ex.where(F.col("col_start") == 0)
+        key = F.col("row_start").alias("row")
+    else:
+        ex = ex.where(F.col("row_start") == 0)
+        key = F.col("col_start").alias("col")
+    return (
+        ex.groupBy("url", "table_sid", key)
+        .agg(F.array_distinct(F.collect_list("g")).alias("ngrams"))
+    )
+
+
+def neighbor_cell_ngrams(sentences: DataFrame, dist: int = 1,
+                         n_max: int = 1) -> DataFrame:
+    """(url, cell_sid) -> ngrams[] of the cell itself plus every cell within
+    ``dist`` along exactly one axis (reference get_neighbor_cell_ngrams,
+    tabular.py:260-330: row_diff XOR col_diff, |diff| <= dist) — a bounded
+    self-join on (url, table) with coordinate predicates instead of a
+    per-candidate walk."""
+    pc = (
+        _cell_grams(sentences, n_max)
+        .groupBy("url", "table_sid", "cell_sid", "row_start", "col_start")
+        .agg(F.array_distinct(F.collect_list("g")).alias("ngrams"))
+    )
+    a = pc.select(
+        F.col("url").alias("u"), F.col("table_sid").alias("t"),
+        "cell_sid", F.col("row_start").alias("r"), F.col("col_start").alias("c"),
+    )
+    b = pc.select(
+        F.col("url").alias("u"), F.col("table_sid").alias("t"),
+        F.col("row_start").alias("br"), F.col("col_start").alias("bc"),
+        F.col("ngrams").alias("bn"),
+    )
+    rd = F.abs(F.col("r") - F.col("br"))
+    cd = F.abs(F.col("c") - F.col("bc"))
+    same = (rd == 0) & (cd == 0)
+    aligned_near = ((rd == 0) | (cd == 0)) & (rd + cd <= dist)
+    joined = a.join(b, ["u", "t"]).where(same | aligned_near)
+    return (
+        joined.groupBy(F.col("u").alias("url"), "cell_sid")
+        .agg(F.array_distinct(F.flatten(F.collect_list("bn"))).alias("ngrams"))
+    )
+
+
+def with_head_ngrams(candidates: DataFrame, sentences: DataFrame,
+                     slot: str = "b_", axis: str = "col",
+                     n_max: int = 1) -> DataFrame:
+    """Join the axis-head vocabulary of a slot's cell onto the candidates
+    frame as ``{slot}{axis}_head_ngrams`` — LFs can then test membership
+    with pure array ops (the relational form of the reference's
+    get_head_ngrams-driven LFs, e.g. hardware_lfs.py)."""
+    pos = "row_start" if axis == "row" else "col_start"
+    key = "row" if axis == "row" else "col"
+    vocab = head_ngrams(sentences, axis, n_max).withColumnsRenamed(
+        {"ngrams": f"{slot}{axis}_head_ngrams"})
+    return candidates.join(
+        vocab,
+        (candidates[f"{slot}url"] == vocab.url)
+        & (candidates[f"{slot}table_sid"] == vocab.table_sid)
+        & (candidates[f"{slot}{pos}"] == vocab[key]),
+        "left",
+    ).drop(vocab.url).drop(vocab.table_sid).drop(vocab[key])
+
+
 def neighbor_sentence_ngrams(sentences: DataFrame, d: int = 1) -> DataFrame:
     """(url, sentence stable_id) -> words of sentences within distance d by
     position (reference get_neighbor_sentence_ngrams, textual.py:167-197) —

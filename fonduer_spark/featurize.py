@@ -47,6 +47,20 @@ WINDOW = 3          # lemma/word window (reference config featurization window)
 NGRAM_MAX = 2       # contained/aligned ngram max n
 
 
+def _cfg_window_ngram() -> tuple:
+    """Resolve (window, ngram_max) from the engine config
+    (.fonduer-spark.json; see config.get_config) — the reference applies its
+    featurization section to the same knobs. Falls back to the module
+    defaults when no config file is present."""
+    from .config import get_config
+
+    feat = get_config()["featurization"]
+    window = feat["textual"]["window_feature"].get("size", WINDOW)
+    ngram_max = feat["tabular"]["unary_features"]["get_cell_ngrams"].get(
+        "max", NGRAM_MAX)
+    return window, ngram_max
+
+
 def _ngrams(tokens: Sequence[str], n_max: int = NGRAM_MAX) -> Iterator[str]:
     L = len(tokens)
     for n in range(1, n_max + 1):
@@ -64,14 +78,22 @@ def _span_word_range(row: dict, prefix: str) -> tuple:
     return row[f"{prefix}word_start"], row[f"{prefix}word_end"]
 
 
-def _textual_unary(row: dict, prefix: str, words: List[str]) -> Iterator[str]:
+def _arr(x) -> tuple:
+    """None-safe iteration over a joined array column (Arrow hands the UDF
+    numpy arrays, whose truthiness is ambiguous — no ``or ()`` here)."""
+    return () if x is None else x
+
+
+def _textual_unary(row: dict, prefix: str, words: List[str],
+                   window: int = WINDOW,
+                   n_max: int = NGRAM_MAX) -> Iterator[str]:
     """Word-level textual features of one span (textual_features.py:241-283)."""
     ws, we = _span_word_range(row, prefix)
     span_words = words[ws:we + 1]
-    for g in _ngrams([_num_norm(w) for w in span_words]):
+    for g in _ngrams([_num_norm(w) for w in span_words], n_max):
         yield f"CONTAINS_[{g}]"
-    left = [_num_norm(w) for w in words[max(0, ws - WINDOW):ws]]
-    right = [_num_norm(w) for w in words[we + 1:we + 1 + WINDOW]]
+    left = [_num_norm(w) for w in words[max(0, ws - window):ws]]
+    right = [_num_norm(w) for w in words[we + 1:we + 1 + window]]
     for g in _ngrams(left, 1):
         yield f"LEFT_[{g}]"
     for g in _ngrams(right, 1):
@@ -80,6 +102,41 @@ def _textual_unary(row: dict, prefix: str, words: List[str]) -> Iterator[str]:
     if text[:1].isupper():
         yield "STARTS_WITH_CAPITAL"
     yield f"LENGTH_{{{len(span_words)}}}"
+
+
+def _window_unary(row: dict, prefix: str, lemmas, pos_tags,
+                  window: int = WINDOW) -> Iterator[str]:
+    """Isolated + combination window features over the span's lemma/POS
+    context (reference textual_features.py:160-238 _get_window_features:
+    W_LEFT_i / W_LEFT_POS_i / W_RIGHT_i / W_RIGHT_POS_i, and the
+    W_LEMMA_L_i_R_j / W_POS_L_i_R_j cross products). Gated on lemmas being
+    populated — under SimpleParser these are empty and the library no-ops,
+    exactly like the reference without an NLP parser."""
+    if lemmas is None:
+        return
+    lemmas = list(lemmas)
+    if not lemmas or not any(lemmas):
+        return
+    pos_tags = list(pos_tags) if pos_tags is not None else [""] * len(lemmas)
+    ws, we = _span_word_range(row, prefix)
+    left_l = [_num_norm(l) for l in lemmas[max(0, ws - window):ws]]
+    left_p = pos_tags[max(0, ws - window):ws]
+    right_l = [_num_norm(l) for l in lemmas[we + 1:we + 1 + window]]
+    right_p = pos_tags[we + 1:we + 1 + window]
+    for i in range(len(left_l)):
+        yield f"W_LEFT_{i + 1}_[{' '.join(left_l[-i - 1:])}]"
+        yield f"W_LEFT_POS_{i + 1}_[{' '.join(left_p[-i - 1:])}]"
+    for i in range(len(right_l)):
+        yield f"W_RIGHT_{i + 1}_[{' '.join(right_l[:i + 1])}]"
+        yield f"W_RIGHT_POS_{i + 1}_[{' '.join(right_p[:i + 1])}]"
+    for i in range(len(left_l)):
+        ll = " ".join(left_l[-i - 1:])
+        lp = " ".join(p or "None" for p in left_p[-i - 1:])
+        for j in range(len(right_l)):
+            rl = " ".join(right_l[:j + 1])
+            rp = " ".join(p or "None" for p in right_p[:j + 1])
+            yield f"W_LEMMA_L_{i + 1}_R_{j + 1}_[{ll}]_[{rl}]"
+            yield f"W_POS_L_{i + 1}_R_{j + 1}_[{lp}]_[{rp}]"
 
 
 def _lingual_unary(row: dict, prefix: str, lemmas, pos_tags,
@@ -128,7 +185,16 @@ def _visual_unary(row: dict, prefix: str) -> Iterator[str]:
 
 
 def _tabular_unary(row: dict, prefix: str) -> Iterator[str]:
-    """Unary tabular features (tabular_features.py:74-131)."""
+    """Unary tabular features (tabular_features.py:74-131), including the
+    cell / aligned-row / aligned-col / head-cell ngram vocabularies when the
+    vocab arrays are joined on (see featurize(): one aggregation pass over
+    sentences replaces the reference's per-candidate cell walks,
+    utils_table.py:59-146).
+
+    Deviation from the reference (documented): get_head_ngrams's early
+    ``return`` aborts BOTH axes when the span sits in either head
+    (tabular.py:462-464); here the gate is per-axis — a span in the head
+    column still gets its COL_HEAD ngrams."""
     if row.get(f"{prefix}cell_sid") is None:
         return
     rs, re_ = row[f"{prefix}row_start"], row[f"{prefix}row_end"]
@@ -139,10 +205,26 @@ def _tabular_unary(row: dict, prefix: str) -> Iterator[str]:
         yield f"ROW_SPAN_[{re_ - rs + 1}]"
     if ce != cs:
         yield f"COL_SPAN_[{ce - cs + 1}]"
+    for g in _arr(row.get(f"{prefix}cell_ngrams")):
+        yield f"CELL_WORDS_[{g}]"
+    for g in _arr(row.get(f"{prefix}row_ngrams")):
+        yield f"ROW_WORDS_[{g}]"
+    for g in _arr(row.get(f"{prefix}col_ngrams")):
+        yield f"COL_WORDS_[{g}]"
+    if cs != 0:  # span not itself the row head
+        for g in _arr(row.get(f"{prefix}row_head_ngrams")):
+            yield f"ROW_HEAD_WORDS_[{g}]"
+    if rs != 0:  # span not itself the col head
+        for g in _arr(row.get(f"{prefix}col_head_ngrams")):
+            yield f"COL_HEAD_WORDS_[{g}]"
 
 
 def _structural_unary(row: dict, prefix: str) -> Iterator[str]:
-    """Structural/DOM features (structural_features.py:77-99)."""
+    """Structural/DOM features (structural_features.py:77-106): tag/parent/
+    ancestor names plus the sibling-context features (PREV_SIB_TAG /
+    NEXT_SIB_TAG / NODE_POS / FIRST_NODE / LAST_NODE) and ancestor
+    class/id names — the latter read sibling/ancestor columns captured at
+    parse time (parse.py structural attach)."""
     tag = row.get(f"{prefix}html_tag")
     xpath = row.get(f"{prefix}xpath") or ""
     if tag:
@@ -156,6 +238,26 @@ def _structural_unary(row: dict, prefix: str) -> Iterator[str]:
     attrs = row.get(f"{prefix}html_attrs") or []
     for a in attrs:
         yield f"HTML_ATTR_[{a.split('=')[0]}]"
+    if tag:  # sibling context only meaningful when a DOM node was attached
+        prev_sib = row.get(f"{prefix}prev_sib_tag")
+        next_sib = row.get(f"{prefix}next_sib_tag")
+        node_pos = row.get(f"{prefix}node_pos")
+        if prev_sib:
+            yield f"PREV_SIB_TAG_[{prev_sib}]"
+            if node_pos is not None:
+                yield f"NODE_POS_[{node_pos}]"
+        elif node_pos is not None:
+            yield "FIRST_NODE"
+        if next_sib:
+            yield f"NEXT_SIB_TAG_[{next_sib}]"
+        elif node_pos is not None:
+            yield "LAST_NODE"
+    anc_cls = row.get(f"{prefix}ancestor_classes")
+    if anc_cls is not None and len(anc_cls):
+        yield f"ANCESTOR_CLASS_[{' '.join(anc_cls)}]"
+    anc_ids = row.get(f"{prefix}ancestor_ids")
+    if anc_ids is not None and len(anc_ids):
+        yield f"ANCESTOR_ID_[{' '.join(anc_ids)}]"
 
 
 def _binary_feats(row: dict) -> Iterator[str]:
@@ -200,21 +302,136 @@ def _binary_feats(row: dict) -> Iterator[str]:
 CustomFeatureFn = Callable[[dict], Iterator[str]]
 
 
+def _lower_ngrams_col(words, n_max: int):
+    """Array column of lowercased 1..n_max-gram strings of a words array
+    (JVM-side; same construction as dedup.shingles)."""
+    toks = F.transform(words, lambda w: F.lower(w))
+
+    def ngrams_of(n: int):
+        # NB: the lambda must take exactly one arg — F.transform binds a
+        # second arg to the element INDEX, which would shadow a default
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    arrs = [toks] + [ngrams_of(n) for n in range(2, n_max + 1)]
+    return F.flatten(F.array(*arrs)) if len(arrs) > 1 else arrs[0]
+
+
+def tabular_vocabs(sentences: DataFrame, n_max: int = NGRAM_MAX):
+    """One aggregation pass over tabular sentences -> three joinable
+    vocabulary frames replacing the reference's per-candidate cell walks
+    (utils_table.py:59-146, tabular.py:219-561):
+
+    - row_vocab(url, table_sid, row_start) -> ngrams[] of every cell in the
+      row + head_ngrams[] of its col-0 cell (get_row_ngrams/get_head_ngrams);
+    - col_vocab(url, table_sid, col_start) -> ngrams[] + head_ngrams[] of
+      its row-0 cell;
+    - cell_vocab(url, cell_sid) -> ngrams[] of the cell (get_cell_ngrams).
+
+    Alignment is keyed on row_start/col_start: a spanning cell contributes
+    at its start coordinate only (documented simplification vs the
+    reference's overlap walk). Each frame is O(#cells) — orders of magnitude
+    smaller than candidates, so the joins back are cheap (broadcast-able
+    per-table at scale; AQE picks the strategy).
+    """
+    sent = (
+        sentences.where(F.col("ctx_type") == "sentence")
+        if "ctx_type" in sentences.columns else sentences
+    )
+    sent = sent.where(F.col("cell_sid").isNotNull())
+    ex = sent.select(
+        "url", "table_sid", "cell_sid", "row_start", "col_start",
+        F.explode(_lower_ngrams_col(F.col("words"), n_max)).alias("g"),
+    )
+    row_vocab = ex.groupBy("url", "table_sid", "row_start").agg(
+        F.array_distinct(F.collect_list("g")).alias("ngrams"),
+        F.array_distinct(
+            F.collect_list(F.when(F.col("col_start") == 0, F.col("g")))
+        ).alias("head_ngrams"),
+    )
+    col_vocab = ex.groupBy("url", "table_sid", "col_start").agg(
+        F.array_distinct(F.collect_list("g")).alias("ngrams"),
+        F.array_distinct(
+            F.collect_list(F.when(F.col("row_start") == 0, F.col("g")))
+        ).alias("head_ngrams"),
+    )
+    cell_vocab = ex.groupBy("url", "cell_sid").agg(
+        F.array_distinct(F.collect_list("g")).alias("ngrams"),
+    )
+    return row_vocab, col_vocab, cell_vocab
+
+
+def _join_tabular_vocabs(df: DataFrame, sentences: DataFrame,
+                         n_max: int) -> DataFrame:
+    """Left-join the row/col/cell vocabularies onto both candidate slots."""
+    row_v, col_v, cell_v = tabular_vocabs(sentences, n_max)
+    for p in ("a_", "b_"):
+        rv = row_v.select(
+            F.col("url").alias("_vu"), F.col("table_sid").alias("_vt"),
+            F.col("row_start").alias("_vp"),
+            F.col("ngrams").alias(f"{p}row_ngrams"),
+            F.col("head_ngrams").alias(f"{p}row_head_ngrams"),
+        )
+        df = df.join(
+            rv,
+            (df[f"{p}url"] == rv._vu) & (df[f"{p}table_sid"] == rv._vt)
+            & (df[f"{p}row_start"] == rv._vp),
+            "left",
+        ).drop("_vu", "_vt", "_vp")
+        cv = col_v.select(
+            F.col("url").alias("_vu"), F.col("table_sid").alias("_vt"),
+            F.col("col_start").alias("_vp"),
+            F.col("ngrams").alias(f"{p}col_ngrams"),
+            F.col("head_ngrams").alias(f"{p}col_head_ngrams"),
+        )
+        df = df.join(
+            cv,
+            (df[f"{p}url"] == cv._vu) & (df[f"{p}table_sid"] == cv._vt)
+            & (df[f"{p}col_start"] == cv._vp),
+            "left",
+        ).drop("_vu", "_vt", "_vp")
+        ce = cell_v.select(
+            F.col("url").alias("_vu"), F.col("cell_sid").alias("_vc"),
+            F.col("ngrams").alias(f"{p}cell_ngrams"),
+        )
+        df = df.join(
+            ce,
+            (df[f"{p}url"] == ce._vu) & (df[f"{p}cell_sid"] == ce._vc),
+            "left",
+        ).drop("_vu", "_vc")
+    return df
+
+
 def featurize(
     candidates: DataFrame,
     sentences: Optional[DataFrame] = None,
     libs: Sequence[str] = ("textual", "tabular", "structural"),
     custom: Sequence[CustomFeatureFn] = (),
+    window: Optional[int] = None,
+    ngram_max: Optional[int] = None,
 ) -> DataFrame:
     """candidates -> features(candidate_sid, keys[], values[]).
 
     ``sentences``: the parsed contexts frame (or a sentence slice); needed
-    only for the textual library's token windows. When omitted, textual
-    features fall back to span-text-only features.
+    for the textual library's token windows and the tabular library's
+    aligned/head/cell ngram vocabularies. When omitted, textual features
+    fall back to span-text-only features and tabular features to the span's
+    own coordinates.
+
+    ``window``/``ngram_max`` default to the engine config
+    (.fonduer-spark.json featurization section; see config.get_config).
     """
+    cfg_window, cfg_nmax = _cfg_window_ngram()
+    window = cfg_window if window is None else window
+    ngram_max = cfg_nmax if ngram_max is None else ngram_max
+
     df = candidates
     have_words = False
-    want_lingual = "lingual" in libs or "textual" in libs
     if sentences is not None and ("textual" in libs or "lingual" in libs):
         sent = (
             sentences.where(F.col("ctx_type") == "sentence")
@@ -231,6 +448,8 @@ def featurize(
             )
             df = df.join(slim, f"{p}sentence_sid", "left")
         have_words = True
+    if sentences is not None and "tabular" in libs:
+        df = _join_tabular_vocabs(df, sentences, ngram_max)
 
     libset = set(libs)
     custom_fns = list(custom)
@@ -258,10 +477,12 @@ def featurize(
                             ws_we = (0, len(words) - 1)
                             srow = dict(row)
                             srow[f"{p}word_start"], srow[f"{p}word_end"] = ws_we
-                            for name in _textual_unary(srow, p, list(words)):
+                            for name in _textual_unary(
+                                    srow, p, list(words), window, ngram_max):
                                 emit(pre, name)
                         else:
-                            for name in _textual_unary(row, p, list(words)):
+                            for name in _textual_unary(
+                                    row, p, list(words), window, ngram_max):
                                 emit(pre, name)
                             for name in _lingual_unary(
                                 row, p,
@@ -269,6 +490,13 @@ def featurize(
                                 row.get(f"{p}sent_pos"),
                                 row.get(f"{p}sent_dep_labels"),
                                 row.get(f"{p}sent_dep_parents"),
+                            ):
+                                emit(pre, name)
+                            for name in _window_unary(
+                                row, p,
+                                row.get(f"{p}sent_lemmas"),
+                                row.get(f"{p}sent_pos"),
+                                window,
                             ):
                                 emit(pre, name)
                     if "visual" in libset:
@@ -310,23 +538,3 @@ def feature_keys(features: DataFrame) -> DataFrame:
     )
 
 
-def aligned_ngram_features(
-    mentions: DataFrame, axis: str = "row", n_max: int = 1
-) -> DataFrame:
-    """ROW_/COL_ aligned-cell ngram features as a relational aggregation.
-
-    The reference walks aligned cells per candidate with an lru_cache
-    (tabular_features.py:100-124, utils_table.py:59-146); here the per-
-    (table, row|col) vocabularies are computed once by aggregation and can
-    be joined back to mentions — one shuffle, reusable across candidates.
-    Output: (url, table_sid, pos, ngrams[]).
-    """
-    pos_col = f"{axis}_start"
-    toks = F.split(F.lower(F.col("span_text")), r"\s+")
-    return (
-        mentions.where(F.col("table_sid").isNotNull())
-        .select("url", "table_sid", F.col(pos_col).alias("pos"),
-                F.explode(toks).alias("tok"))
-        .groupBy("url", "table_sid", "pos")
-        .agg(F.collect_set("tok").alias("ngrams"))
-    )

@@ -52,7 +52,13 @@ def _eval_lfs(
 
     df = candidates
     for name, expr in col_lfs.items():
-        df = df.withColumn(f"_lf_{name}", expr.cast("int") + F.lit(1))
+        # coalesce: a column LF evaluating to NULL (e.g. F.when with no
+        # .otherwise) stores ABSTAIN, keeping the 0-shifted int convention
+        # consistent with the pandas-LF fillna branch below
+        df = df.withColumn(
+            f"_lf_{name}",
+            F.coalesce(expr.cast("int"), F.lit(ABSTAIN)) + F.lit(1),
+        )
 
     if pd_lfs:
         schema = T.StructType(

@@ -51,34 +51,42 @@ def collect_csr(features: DataFrame, key_order: List[str] = None):
 def train_logreg(
     features: DataFrame,
     marginals: DataFrame,
-    l2: float = 1e-3,
-    lr: float = 0.5,
-    epochs: int = 200,
+    l2: float = None,
+    lr: float = None,
+    epochs: int = None,
     seed: int = 42,
 ) -> Tuple[Dict[str, float], float]:
     """Fit logistic regression on (features, soft labels); returns
     (key -> weight, bias). Driver-side gradient descent on the collected
-    matrix (small); deterministic given the seed."""
+    matrix (small); deterministic given the seed.
+
+    lr/l2/epochs default to the ``learning.logreg`` section of the engine
+    config (.fonduer-spark.json, see config.get_config) — the reference
+    applies its config to the same knobs (learning/task.py model params).
+    The per-epoch forward/backward passes are fully vectorized (bincount
+    scatter-adds over the CSR arrays — no per-row Python loop)."""
+    from .config import get_config
+
+    logreg_cfg = get_config()["learning"]["logreg"]
+    l2 = logreg_cfg["l2"] if l2 is None else l2
+    lr = logreg_cfg["lr"] if lr is None else lr
+    epochs = logreg_cfg["epochs"] if epochs is None else epochs
+
     indptr, indices, data, sids, keys = collect_csr(features)
     probs = {r.candidate_sid: float(r.prob)
              for r in marginals.select("candidate_sid", "prob").collect()}
     y = np.array([probs.get(s, 0.5) for s in sids])
     n, d = len(sids), len(keys)
-    rng = np.random.RandomState(seed)
     w = np.zeros(d)
     b = 0.0
+    # CSR entry -> row id (handles empty rows, unlike reduceat)
+    row_ids = np.repeat(np.arange(n), np.diff(indptr))
     for _ in range(epochs):
-        # forward: sparse dot
-        z = np.full(n, b)
-        for i in range(n):
-            sl = slice(indptr[i], indptr[i + 1])
-            z[i] += data[sl] @ w[indices[sl]]
+        # forward: per-entry products scattered into row sums
+        z = b + np.bincount(row_ids, weights=data * w[indices], minlength=n)
         p = 1.0 / (1.0 + np.exp(-z))
         g = p - y  # soft-label cross-entropy gradient
-        gw = np.zeros(d)
-        for i in range(n):
-            sl = slice(indptr[i], indptr[i + 1])
-            np.add.at(gw, indices[sl], g[i] * data[sl])
+        gw = np.bincount(indices, weights=g[row_ids] * data, minlength=d)
         gw = gw / n + l2 * w
         w -= lr * gw
         b -= lr * float(g.mean())

@@ -116,7 +116,10 @@ def connected_components(
     ``driver_threshold`` total rows the graph is collected and solved with
     union-find in one pass (the iterative-job overhead dominates tiny
     graphs); above it, a pure DataFrame loop — each round: labels propagate
-    across edges, then groupBy-min, localCheckpoint to truncate lineage.
+    across edges, then groupBy-min, then a pointer-doubling jump
+    (label := label-of-label) making convergence O(log diameter) rounds;
+    localCheckpoint truncates lineage. Warns if max_iter is exhausted before
+    convergence (split components otherwise go unnoticed).
     """
     n = vertices.count() + edges.count()
     if n <= driver_threshold:
@@ -143,15 +146,29 @@ def connected_components(
     )
     labels = vertices.select(F.col("v"), F.col("v").alias("component"))
     labels = labels.localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym.a == labels.v)
             .select(F.col("b").alias("v"), F.col("component"))
         )
-        new_labels = (
+        hop = (
             labels.select("v", "component").unionByName(prop)
             .groupBy("v")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: jump each label to its label's label — the
+        # combination (one-hop min + doubling) converges in O(log diameter)
+        # rounds, not O(diameter)
+        lut = hop.select(F.col("v").alias("_cv"), F.col("component").alias("_cc"))
+        new_labels = (
+            hop.join(lut, hop.component == lut._cv, "left")
+            .select(
+                "v",
+                F.coalesce(
+                    F.least("_cc", "component"), F.col("component")
+                ).alias("component"),
+            )
         ).localCheckpoint()  # truncate lineage each round
         changed = (
             new_labels.alias("n")
@@ -161,7 +178,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} without "
+            "converging; component labels may be split — raise max_iter",
+            RuntimeWarning,
+        )
     return labels
 
 

@@ -267,7 +267,7 @@ def extract_mentions_fused(
     fast_list = [_fast_unigram_regex(s) for s in spec_list]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lp = SimpleParser(cfg.sentence_delim)
+        lp = cfg.make_lingual_parser()
         for pdf in batches:
             out: List[dict] = []
             for i, text in zip(pdf["doc_id"], pdf["text"]):

@@ -102,6 +102,17 @@ class ParseConfig:
     )
     tabular: bool = True
     sentence_delim: str = "."
+    # lingual annotation level: "simple" (split+tokenize only) or
+    # "regex_tagger" (deterministic rule-based POS/NER/lemma/dep — lights up
+    # NER matchers and lingual features without spaCy)
+    lingual: str = "simple"
+
+    def make_lingual_parser(self) -> LingualParser:
+        if self.lingual == "regex_tagger":
+            from .lingual import RegexTaggerParser
+
+            return RegexTaggerParser(self.sentence_delim)
+        return SimpleParser(self.sentence_delim)
 
 
 def _row(url: str, **kw: Any) -> Dict[str, Any]:
@@ -490,7 +501,7 @@ def parse_webpages(pages: DataFrame, cfg: Optional[ParseConfig] = None) -> DataF
     cfg = cfg or ParseConfig()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lp = SimpleParser(cfg.sentence_delim)
+        lp = cfg.make_lingual_parser()
         for pdf in batches:
             out: List[Dict[str, Any]] = []
             for url, html in zip(pdf["url"], pdf["html"]):

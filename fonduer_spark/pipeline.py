@@ -103,19 +103,22 @@ def kg_stages(
         )
         scored_input = candidates
     else:
-        from .candidates_fused import extract_candidates_fused, same_row_py
+        from .candidates_fused import extract_candidates_auto, same_row_py
 
-        candidates = extract_candidates_fused(
+        # auto = fused single-stage path + hot-doc overflow routed through
+        # the salted join path (never dropped); the per-doc mention cap only
+        # bounds the quadratic product of the fused stage
+        candidates = extract_candidates_auto(
             docs, default_mention_specs(), "part_temp", "part", "temp",
-            throttler=same_row_py,
+            py_throttler=same_row_py, column_throttler=same_row,
         )
         # label/triple path reads a SLIM variant (8 columns instead of 46):
         # same rows, ~7x less pandas/Arrow transfer. The wide `candidates`
         # frame stays available for featurization queries (lazy — only the
         # lineage a caller uses is computed).
-        scored_input = extract_candidates_fused(
+        scored_input = extract_candidates_auto(
             docs, default_mention_specs(), "part_temp", "part", "temp",
-            throttler=same_row_py, slim=True,
+            py_throttler=same_row_py, column_throttler=same_row, slim=True,
         )
     scored = with_marginals(scored_input, default_lfs())
     triples = materialize_triples(scored, pred=PRED, prob_threshold=0.5)

@@ -62,7 +62,13 @@ def csv_docs(
     (csv_doc_preprocessor.py:13-107's header-mapping default)."""
     df = spark.read.option("header", str(header).lower()).csv(path)
     cols = df.columns
-    name = F.col(name_col) if name_col else F.monotonically_increasing_id().cast("string")
+    # content-derived fallback id: md5 over the concatenated row keeps the
+    # url reproducible across runs/partitionings (monotonically_increasing_id
+    # is partition-layout-dependent and would destabilize stable_ids and
+    # checkpoint-resume signatures)
+    name = F.col(name_col) if name_col else F.md5(
+        F.concat_ws("\x1f", *[F.coalesce(F.col(c), F.lit("")) for c in cols])
+    )
     body = F.concat_ws(
         "", *[F.concat(F.lit("<p>"), F.coalesce(F.col(c), F.lit("")),
                        F.lit("</p>")) for c in cols if c != name_col]

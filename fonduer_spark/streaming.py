@@ -57,7 +57,7 @@ def stream_mentions(pages: DataFrame, specs: Sequence[MentionSpec],
     fast_list = [_fast_unigram_regex(s) for s in spec_list]
 
     def fn(batches):
-        lp = SimpleParser(cfg.sentence_delim)
+        lp = cfg.make_lingual_parser()
         for pdf in batches:
             out = []
             for url, html in zip(pdf["url"], pdf["html"]):

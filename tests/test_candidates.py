@@ -178,3 +178,46 @@ def test_mention_dedup_flag(spark):
     assert raw.count() == 2
     deduped = extract_mentions(sentences, default_mention_specs(), dedup=True)
     assert deduped.count() == 1
+
+
+def test_overflow_marker_and_routing(spark):
+    """Hot-doc overflow: the fused stage emits a marker (never silently
+    drops), and extract_candidates_auto routes the doc through the join
+    path — the union is row-identical to the pure join strategy."""
+    from fonduer_spark.candidates_fused import (
+        OVERFLOW_TYPE, extract_candidates_auto, extract_candidates_fused,
+        same_row_py)
+    from fonduer_spark.corpus import load_docs, n_rows, n_tables, url_of
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.pipeline import default_mention_specs
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_docs(spark, sf, max_docs=8)
+    specs = default_mention_specs()
+    # doc 0 is a hot doc (7 tables): cap mentions so it (and only the
+    # biggest docs) overflow
+    cap = 40
+
+    fused = extract_candidates_fused(
+        docs, specs, "part_temp", "part", "temp",
+        throttler=same_row_py, max_mentions_per_doc=cap)
+    markers = fused.where(F.col("candidate_type") == OVERFLOW_TYPE)
+    marker_urls = {r.url for r in markers.select("url").collect()}
+    assert url_of(0) in marker_urls  # the hot doc was flagged, not dropped
+    # marker rows carry no mention payload
+    assert all(r.a_stable_id is None for r in markers.collect())
+
+    routed = extract_candidates_auto(
+        docs, specs, "part_temp", "part", "temp",
+        py_throttler=same_row_py, column_throttler=same_row,
+        max_mentions_per_doc=cap)
+    joined = extract_candidates(
+        extract_mentions_fused(docs, specs), "part_temp", "part", "temp",
+        throttler=same_row, throttler_kind="column")
+    got = {tuple(r) for r in
+           routed.select("candidate_sid", "a_span_text", "b_span_text").collect()}
+    want = {tuple(r) for r in
+            joined.select("candidate_sid", "a_span_text", "b_span_text").collect()}
+    assert got == want
+    # the overflow doc's candidates are present in the routed output
+    assert any(sid.startswith(url_of(0)) for sid, _, _ in got)

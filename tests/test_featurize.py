@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from fonduer_spark.candidates_op import extract_candidates, same_row
-from fonduer_spark.featurize import aligned_ngram_features, feature_keys, featurize
+from fonduer_spark.featurize import feature_keys, featurize, tabular_vocabs
 from fonduer_spark.pipeline import kg_stages
 
 SF = "/root/testdata/sf0.001"
@@ -62,13 +62,109 @@ def test_tabular_binary_diff_table(spark, stages):
     assert "DIFF_TABLE" in keys or "SAME_TABLE" in keys
 
 
-def test_aligned_ngram_features(spark, stages):
-    row_ng = aligned_ngram_features(stages["mentions"], axis="row").collect()
-    assert row_ng
-    # a row vocabulary contains both the part code and its temps
-    by_key = {(r.url, r.table_sid, r.pos): set(r.ngrams) for r in row_ng}
-    some = next(iter(by_key.values()))
-    assert some
+def test_tabular_vocabs(spark, stages):
+    row_v, col_v, cell_v = tabular_vocabs(stages["sentences"])
+    # the header row's vocabulary is the column titles (lowercased ngrams)
+    hdr = row_v.where(F.col("row_start") == 0).first()
+    assert {"part", "min", "max", "temp", "min temp", "max temp"} <= set(hdr.ngrams)
+    # head of the header row is its col-0 cell: "Part"
+    assert set(hdr.head_ngrams) == {"part"}
+    # a column vocabulary's head is the row-0 cell of that column
+    c2 = col_v.where(F.col("col_start") == 2).first()
+    assert set(c2.head_ngrams) >= {"max", "temp", "max temp"}
+    # cell vocab: single-token part cells
+    assert cell_v.where(F.size("ngrams") == 1).count() > 0
+
+
+def test_tabular_vocab_features_in_candidates(spark, stages, feats):
+    keys = {r.key for r in feature_keys(feats).collect()}
+    # object slot (temp) carries its column-head vocabulary...
+    assert "e1_COL_HEAD_WORDS_[max]" in keys
+    assert "e1_COL_HEAD_WORDS_[min]" in keys
+    # ...and its row-head vocabulary (the part code of its row)
+    assert any(k.startswith("e1_ROW_HEAD_WORDS_[pn") for k in keys)
+    # subject slot (part, col 0) is its own row head -> gated off
+    assert not any(k.startswith("e0_ROW_HEAD_WORDS_[") for k in keys)
+    # aligned row/col + own-cell vocabularies present on both slots
+    assert any(k.startswith("e0_ROW_WORDS_[") for k in keys)
+    assert any(k.startswith("e1_COL_WORDS_[") for k in keys)
+    assert any(k.startswith("e0_CELL_WORDS_[") for k in keys)
+
+
+def test_head_ngram_lf_helpers(spark, stages):
+    from fonduer_spark.data_model_utils import (
+        cell_ngrams, head_ngrams, neighbor_cell_ngrams, with_head_ngrams)
+
+    sent = stages["sentences"]
+    heads = head_ngrams(sent, axis="col", n_max=2)
+    hc = {r.col: set(r.ngrams) for r in heads.where(
+        F.col("url").endswith("000001")).collect()}
+    assert hc[0] == {"part"}
+    assert hc[1] == {"min", "temp", "min temp"}
+    assert hc[2] == {"max", "temp", "max temp"}
+
+    cn = cell_ngrams(sent)
+    assert cn.count() > 0
+
+    # neighbor vocab of a body-row part cell includes its row's temps and
+    # the column head above/below, never diagonal cells
+    nb = neighbor_cell_ngrams(sent, dist=1)
+    assert nb.count() > 0
+
+    cands = with_head_ngrams(stages["candidates"].limit(50), sent,
+                             slot="b_", axis="col")
+    got = cands.select("b_span_text", "b_col_head_ngrams").collect()
+    for r in got:
+        if r.b_span_text.startswith("-"):
+            assert "min" in r.b_col_head_ngrams
+        else:
+            assert "max" in r.b_col_head_ngrams
+
+
+def test_isolated_and_combination_window_features(spark):
+    """W_LEFT/W_RIGHT isolated + W_LEMMA_L_i_R_j combination features over a
+    lemma-annotated sentence (reference textual_features.py:160-238)."""
+    from fonduer_spark.candidates_op import extract_candidates
+    from fonduer_spark.mentions_op import MENTION_COLUMNS, MENTION_SCHEMA
+    from fonduer_spark.parse import CONTEXT_COLUMNS, CONTEXT_SCHEMA
+
+    def m(mtype, ws, we, cs, ce, text, sid_i):
+        r = dict.fromkeys(MENTION_COLUMNS)
+        r.update(mention_type=mtype, url="d",
+                 stable_id=f"d::span_mention:{sid_i}:{sid_i+ce-cs}",
+                 sentence_sid="d::sentence:0:31", sentence_position=0,
+                 char_start=cs, char_end=ce, word_start=ws, word_end=we,
+                 span_text=text, emit_seq=0)
+        return tuple(r[c] for c in MENTION_COLUMNS)
+
+    words = "the part PN10A rated 85 degrees".split()
+    mentions = spark.createDataFrame(
+        [m("A", 2, 2, 9, 13, "PN10A", 9), m("B", 4, 4, 21, 22, "85", 21)],
+        MENTION_SCHEMA)
+    s = dict.fromkeys(CONTEXT_COLUMNS)
+    s.update(url="d", stable_id="d::sentence:0:31", ctx_type="sentence",
+             position=0, text=" ".join(words), words=words,
+             char_offsets=[0, 4, 9, 15, 21, 24],
+             abs_char_offsets=[0, 4, 9, 15, 21, 24],
+             lemmas=["the", "part", "pn10a", "rate", "85", "degree"],
+             pos_tags=["DT", "NN", "NN", "VB", "CD", "NN"],
+             dep_labels=["det", "nsubj", "ROOT", "acl", "num", "dobj"],
+             dep_parents=[2, 2, 2, 2, 5, 3])
+    sentences = spark.createDataFrame(
+        [tuple(s[c] for c in CONTEXT_COLUMNS)], CONTEXT_SCHEMA)
+    cands = extract_candidates(mentions, "AB", "A", "B")
+    keys = {k for r in featurize(cands, sentences).collect() for k in r.keys}
+    # isolated windows (lemma + POS), growing to the left/right
+    assert "e0_W_LEFT_1_[part]" in keys
+    assert "e0_W_LEFT_2_[the part]" in keys
+    assert "e0_W_LEFT_POS_1_[NN]" in keys
+    assert "e0_W_RIGHT_1_[rate]" in keys
+    assert "e0_W_RIGHT_2_[rate _NUMBER]" in keys  # number normalization
+    # combinations: left x right cross products
+    assert "e0_W_LEMMA_L_1_R_1_[part]_[rate]" in keys
+    assert "e0_W_POS_L_1_R_1_[NN]_[VB]" in keys
+    # B at word 4: right window is the single trailing token
+    assert "e1_W_RIGHT_1_[degree]" in keys
 
 
 def test_window_features(spark):

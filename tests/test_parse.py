@@ -202,3 +202,34 @@ def test_rowspan_occupancy_pushes_next_row():
     assert "u::cell:0:1:1" in cells
     c = cells["u::cell:0:1:1"]
     assert (c["col_start"], c["col_end"]) == (1, 1)
+
+
+def test_regex_tagger_parser():
+    """Deterministic rule-based POS/NER annotation (the spaCy-free stand-in
+    for the reference SpacyParser enrich step)."""
+    from fonduer_spark.lingual import RegexTaggerParser
+
+    lp = RegexTaggerParser(".")
+    sents = list(lp.split_sentences("Part PN10A rated -85 on 2026-01-02"))
+    assert len(sents) == 1
+    s = sents[0]
+    assert s["ner_tags"] == ["", "MISC", "", "CARDINAL", "", "DATE"]
+    assert s["pos_tags"] == ["NNP", "NNP", "NN", "CD", "NN", "CD"]
+    assert s["lemmas"] == ["part", "pn10a", "rated", "-85", "on", "2026-01-02"]
+    assert s["dep_labels"][0] == "root"
+    assert all(l == "flat" for l in s["dep_labels"][1:])
+    assert lp.has_NLP_support()
+
+
+def test_parse_config_lingual_threading():
+    """ParseConfig(lingual='regex_tagger') threads the tagger through the
+    parse stage; ner_tags on sentences become non-empty."""
+    from fonduer_spark.lingual import SimpleParser
+
+    cfg = ParseConfig(lingual="regex_tagger")
+    lp = cfg.make_lingual_parser()
+    assert lp.has_NLP_support()
+    assert isinstance(ParseConfig().make_lingual_parser(), SimpleParser)
+    html = "<html><body><p>Value 42 here.</p></body></html>"
+    rows = parse_document("u", html, cfg, lp, emit_types={"sentence"})
+    assert rows[0]["ner_tags"] == ["", "CARDINAL", ""]

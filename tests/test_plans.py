@@ -54,19 +54,33 @@ def test_wholestage_codegen_on_agg(spark):
 
 
 def test_fused_pipeline_single_python_stage(spark):
-    """The fused candidate path has exactly ONE MapInPandas node before the
-    triple aggregation (the whole point of the fusion)."""
-    from fonduer_spark.pipeline import kg_stages
+    """The fused candidate stage is ONE MapInPandas python stage
+    (render+parse+mentions+product fused, the whole point of the fusion);
+    the auto-routing wrapper's overflow branch reuses the CACHED fused
+    output (InMemoryTableScan in the plan — the corpus is parsed once, and
+    AQE's empty-relation propagation skips the overflow join when no doc
+    overflows)."""
+    from fonduer_spark.candidates_fused import (
+        extract_candidates_fused, same_row_py)
+    from fonduer_spark.corpus import load_docs
+    from fonduer_spark.pipeline import default_mention_specs, kg_stages
 
     import re
 
-    st = kg_stages(spark, SF, max_docs=10)
-    plan = plan_of(st["triples"])
+    docs = load_docs(spark, SF, max_docs=10)
+    fused = extract_candidates_fused(
+        docs, default_mention_specs(), "part_temp", "part", "temp",
+        throttler=same_row_py, slim=True)
+    plan = plan_of(fused)
     # one tree node "MapInPandas (n)" (it also appears once in the node
     # detail section below the tree)
     assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 1
     # and the doc_id filter was pushed into the parquet scan
     assert "PushedFilters" in plan and "LessThan(doc_id,10)" in plan
+
+    st = kg_stages(spark, SF, max_docs=10)
+    plan2 = plan_of(st["triples"])
+    assert "InMemoryTableScan" in plan2  # overflow scan reuses the cache
     st["mentions"].unpersist()
 
 
