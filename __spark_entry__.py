@@ -189,6 +189,27 @@ def q_kg_ner_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_triples_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH relations (stg_temp_max + stg_temp_min) materialized from ONE
+    scored candidate set in ONE pass (materialize_triples_multi): the parse/
+    extract/label lineage is scanned once with pred as an extra groupBy key —
+    the multi-relation plan a real KB build needs (vs re-deriving the
+    pipeline per relation, as kg_triples + kg_triples_min each do)."""
+    from fonduer_spark.triples import materialize_triples_multi
+
+    scored = kg_stages(spark, sf_dir)["scored"]
+    obj_int = F.col("b_span_text").try_cast("int")
+    rules = [
+        ("stg_temp_max", F.col("prob") >= 0.5),
+        ("stg_temp_min", (F.col("prob") < 0.5) & (obj_int < 0)),
+    ]
+    return (
+        materialize_triples_multi(scored, rules)
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    )
+
+
 def q_kg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-level P/R/F1 of the pipeline's triples vs the corpus gold —
     the engine's port of the reference's entity_level_f1 evaluation
@@ -240,6 +261,21 @@ _KG_FEATURE_ROWCOL_SQL = _KG_CELLS_CTE + """
 SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
        CAST(count(*) AS BIGINT) AS n
 FROM cells GROUP BY i ORDER BY url
+"""
+
+_KG_TRIPLES_ALL_SQL = _KG_CELLS_CTE + """
+, parts AS (
+  SELECT i, t, r,
+    'PN' || CAST((i*17 + t*5 + r*3) % 900 + 100 AS VARCHAR)
+         || chr(CAST(65 + ((i + r) % 3) AS INTEGER)) AS subj
+  FROM cells
+)
+SELECT DISTINCT subj, 'stg_temp_max' AS pred,
+       CAST(85 + ((i*3 + r*7) % 60) AS VARCHAR) AS obj FROM parts
+UNION
+SELECT DISTINCT subj, 'stg_temp_min' AS pred,
+       CAST(-(40 + ((i + r) % 30)) AS VARCHAR) AS obj FROM parts
+ORDER BY subj, pred, obj
 """
 
 _KG_NER_NUMBERS_SQL = _KG_CELLS_CTE + """
@@ -300,6 +336,20 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path near-dup operator, oracle-checked end to end:
+    MinHash-LSH bucketed candidate pairs + exact Jaccard verify within
+    buckets (never all-pairs). md5-based signatures and band keys are
+    reproducible in SQL."""
+    return dd.lsh_verified_pairs(
+        _docs(spark, sf_dir), k=16, bands=8, shingle_n=3, threshold=0.1
+    ).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "jaccard",
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: 64-bit SimHash (bit voting in a pandas UDF)
     return dd.simhash(_docs(spark, sf_dir))
@@ -332,6 +382,46 @@ SELECT doc_id,
   list_min(list_transform(shingles, s -> md5(s || '#0'))) AS sig0,
   list_min(list_transform(shingles, s -> md5(s || '#1'))) AS sig1
 FROM sh ORDER BY doc_id
+"""
+
+# 3-token shingles (signature + verify share them; list_distinct does not
+# change mins and matches the Spark verify's array_distinct)
+_DD_SHINGLES3 = f"""
+list_distinct(CASE WHEN len({_DD_TOKS}) >= 3 THEN
+  list_transform(range(0, len({_DD_TOKS}) - 2),
+                 i -> array_to_string(({_DD_TOKS})[i+1:i+3], ' '))
+ELSE [array_to_string({_DD_TOKS}, ' ')] END)
+"""
+_LSH_K, _LSH_BANDS = 16, 8
+_LSH_SIG_COLS = ",\n    ".join(
+    f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS h{i}"
+    for i in range(_LSH_K)
+)
+_LSH_ROWS = _LSH_K // _LSH_BANDS
+_LSH_BAND_KEYS = ", ".join(
+    "'" + str(b) + "' || '|' || "
+    + " || '|' || ".join(f"h{b * _LSH_ROWS + j}" for j in range(_LSH_ROWS))
+    for b in range(_LSH_BANDS)
+)
+_DEDUP_LSH_VERIFIED_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, {_DD_SHINGLES3} AS shingles FROM documents
+),
+sig AS (SELECT doc, {_LSH_SIG_COLS} FROM sh),
+keyed AS (SELECT doc, unnest([{_LSH_BAND_KEYS}]) AS bk FROM sig),
+pairs AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM keyed x JOIN keyed y USING (bk) WHERE x.doc < y.doc
+),
+v AS (
+  SELECT a, b,
+    round(len(list_intersect(sa.shingles, sb.shingles)) /
+          (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+  FROM pairs JOIN sh sa ON sa.doc = a JOIN sh sb ON sb.doc = b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jaccard
+FROM v WHERE jaccard >= 0.1 ORDER BY a, b
 """
 
 _DEDUP_JACCARD_SQL = f"""
@@ -788,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_triples_min": q_kg_triples_min,
         "kg_triples_headerlf": q_kg_triples_headerlf,
+        "kg_triples_all": q_kg_triples_all,
         "kg_feature_rowcol": q_kg_feature_rowcol,
         "kg_ner_numbers": q_kg_ner_numbers,
         "kg_part_mentions": q_kg_part_mentions,
@@ -799,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         # text analysis family
@@ -832,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": gold_triples_sql(),
         "kg_triples_min": _KG_TRIPLES_MIN_SQL,
         "kg_triples_headerlf": gold_triples_sql(),
+        "kg_triples_all": _KG_TRIPLES_ALL_SQL,
         "kg_feature_rowcol": _KG_FEATURE_ROWCOL_SQL,
         "kg_ner_numbers": _KG_NER_NUMBERS_SQL,
         "kg_part_mentions": _KG_PART_MENTIONS_SQL,
@@ -839,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_quality": ("SELECT 1.0 AS precision, 1.0 AS recall, 1.0 AS f1"),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SIG_SQL,
+        "dedup_lsh_verified": _DEDUP_LSH_VERIFIED_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "text_token_count": _TOKEN_COUNT_SQL,
         "text_quality": _QUALITY_SQL,

@@ -81,14 +81,28 @@ def main_bench(cores: int, sf_dir: str) -> dict:
     n_triples, n_docs, wall = run_kg(spark, sf_dir)
     timings["kg_triples"] = round(wall, 3)
 
-    # headline 2-6: one representative per operator family
-    heads = ["dedup_minhash_pairs", "dedup_jaccard", "sim_topk",
-             "text_quality", "rel_agg", "rel_join"]
+    # headline 2-9: one representative per operator family
+    heads = ["kg_triples_all", "dedup_minhash_pairs", "dedup_lsh_verified",
+             "dedup_jaccard", "sim_topk", "text_quality", "rel_agg",
+             "rel_join"]
     qs = E.queries()
     for name in heads:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+
+    # ANN quality: recall@5 of the LSH multiprobe path vs the exact top-k
+    # (planes=3, multiprobe=1 — the recall-knob configuration)
+    from fonduer_spark.functions import similarity as _sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(8))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in _sim.cosine_topk(emb, qids, k=5).collect()}
+    ann = {(r.query_id, r.neighbor_id)
+           for r in _sim.lsh_bucketed_ann(emb, qids, dim=64, k=5, n_planes=3,
+                                          multiprobe=1).collect()}
+    ann_recall = round(len(ann & exact) / max(1, len(exact)), 3)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -102,6 +116,7 @@ def main_bench(cores: int, sf_dir: str) -> dict:
         "n_triples": n_triples,
         "docs_per_sec": round(n_docs / wall, 2),
         "triples_per_sec": round(n_triples / wall, 2),
+        "sim_ann_recall_at5": ann_recall,
     }
 
 

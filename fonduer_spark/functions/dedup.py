@@ -123,6 +123,43 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """THE near-dup operator for scale: MinHash-LSH candidate pairs, then
+    exact shingle-Jaccard verification WITHIN buckets only.
+
+    Composition of minhash_lsh_pairs (bucketed — never all-pairs) with a
+    per-pair verify join: O(candidate pairs) exact work instead of the
+    O(sum df^2) shingle self-join of ngram_jaccard_pairs (which remains the
+    bounded ground-truth kernel). Every step is md5/array column
+    arithmetic, so the whole operator is oracle-checkable in SQL.
+    Output: (a, b, jaccard) with jaccard >= threshold.
+    """
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, k, bands, shingle_n)
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnsRenamed({"doc": "a", "sh": "sha"}), "a")
+        .join(sh.withColumnsRenamed({"doc": "b", "sh": "shb"}), "b")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        out.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -179,27 +216,36 @@ _SIMHASH_SCHEMA = T.StructType([
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document (vectorized pandas UDF — bit voting is the
-    genuinely Python-shaped step; Arrow-batched, one pass, no shuffle)."""
+    """64-bit SimHash per document (Arrow-batched pandas UDF, one pass, no
+    shuffle). Bit voting is fully vectorized: md5 per UNIQUE token (hashlib
+    releases the GIL; duplicates weighted by count), then one numpy
+    bit-unpack + count-weighted matrix product per document — no per-bit
+    Python loop. Output is bit-identical to the definitional per-token
+    implementation (asserted in tests)."""
+    import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mask = (1 << bits) - 1
+        shifts = np.arange(bits, dtype=np.uint64)
+        weights = np.left_shift(np.uint64(1), shifts)
         for pdf in batches:
             out: List[dict] = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                votes = [0] * bits
-                for tok in str(text).lower().split():
-                    h = int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "big"
+                toks = str(text).lower().split()
+                if toks:
+                    uniq, counts = np.unique(np.array(toks, dtype=object),
+                                             return_counts=True)
+                    digests = b"".join(
+                        hashlib.md5(t.encode()).digest()[:8] for t in uniq
                     )
-                    for i in range(bits):
-                        votes[i] += 1 if (h >> i) & 1 else -1
-                sh = 0
-                for i in range(bits):
-                    if votes[i] > 0:
-                        sh |= 1 << i
+                    h = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+                    # (U, bits) 0/1 matrix; vote = sum counts * (2*bit - 1)
+                    bm = ((h[:, None] >> shifts[None, :]) & np.uint64(1)
+                          ).astype(np.int64)
+                    votes = counts @ (2 * bm - 1)
+                    sh = int((weights * (votes > 0)).sum(dtype=np.uint64))
+                else:
+                    sh = 0
                 # store as signed 64-bit
-                sh &= mask
                 if sh >= 1 << 63:
                     sh -= 1 << 64
                 out.append({"doc_id": int(did), "simhash": sh})

@@ -105,8 +105,13 @@ def lsh_bucketed_ann(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's own sign bucket.
+    """Approximate top-k: probe the query's own sign bucket, plus — with
+    ``multiprobe=1`` — every bucket at Hamming distance 1 (one hyperplane
+    sign flipped). Multiprobe is the recall knob: candidate work grows from
+    O(N / 2^planes) to O(N * (1 + planes) / 2^planes) per query, still never
+    a full scan.
 
     Same output shape as cosine_topk; recall < 1 by construction (the scale
     path). Bucket assignment is deterministic given the seed.
@@ -116,6 +121,14 @@ def lsh_bucketed_ann(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.col("bucket").alias("qb"),
     )
+    if multiprobe >= 1:
+        # probe set = own bucket + single-bit flips (distinct by construction,
+        # so the join never duplicates a neighbor)
+        probes = F.array(
+            F.col("qb"),
+            *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+        q = q.select("query_id", "qv", F.explode(probes).alias("qb"))
     c = bucketed.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         F.col("bucket").alias("cb"),

@@ -24,6 +24,7 @@ from .mention_spaces import MentionSpace
 from .spans import ImplicitSpan, SentenceView, Span
 
 _S, _I = T.StringType(), T.IntegerType()
+_AS = T.ArrayType(T.StringType())
 
 MENTION_FIELDS = [
     ("mention_type", _S),
@@ -47,6 +48,12 @@ MENTION_FIELDS = [
     ("col_end", _I),
     ("xpath", _S),
     ("html_tag", _S),
+    ("html_attrs", _AS),
+    ("prev_sib_tag", _S),
+    ("next_sib_tag", _S),
+    ("node_pos", _I),
+    ("ancestor_classes", _AS),
+    ("ancestor_ids", _AS),
 ]
 MENTION_COLUMNS = [n for n, _ in MENTION_FIELDS]
 MENTION_SCHEMA = T.StructType([T.StructField(n, t, True) for n, t in MENTION_FIELDS])
@@ -56,6 +63,8 @@ _SENTENCE_INPUT_COLS = [
     "abs_char_offsets", "lemmas", "pos_tags", "ner_tags",
     "table_sid", "cell_sid", "table_position", "cell_position",
     "row_start", "row_end", "col_start", "col_end", "xpath", "html_tag",
+    "html_attrs", "prev_sib_tag", "next_sib_tag", "node_pos",
+    "ancestor_classes", "ancestor_ids",
 ]
 
 
@@ -110,6 +119,12 @@ def iter_sentence_mentions(row: dict, spec_list, fast_list):
         "col_end": row.get("col_end"),
         "xpath": row.get("xpath"),
         "html_tag": row.get("html_tag"),
+        "html_attrs": row.get("html_attrs"),
+        "prev_sib_tag": row.get("prev_sib_tag"),
+        "next_sib_tag": row.get("next_sib_tag"),
+        "node_pos": row.get("node_pos"),
+        "ancestor_classes": row.get("ancestor_classes"),
+        "ancestor_ids": row.get("ancestor_ids"),
     }
     sv = None
     for spec, fast in zip(spec_list, fast_list):

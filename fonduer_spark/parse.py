@@ -75,6 +75,11 @@ CONTEXT_FIELDS: List[Tuple[str, T.DataType]] = [
     ("xpath", _S),
     ("html_tag", _S),
     ("html_attrs", _AS),
+    ("prev_sib_tag", _S),
+    ("next_sib_tag", _S),
+    ("node_pos", _I),         # 1-based position among element siblings
+    ("ancestor_classes", _AS),  # root-first class attrs up the DOM chain
+    ("ancestor_ids", _AS),      # root-first id attrs up the DOM chain
     ("section_sid", _S),
     ("paragraph_sid", _S),
     ("table_sid", _S),
@@ -325,6 +330,45 @@ def parse_document(
                              name=node.get("name")))
 
     xpath_cache: Dict[int, str] = {}
+    sib_cache: Dict[int, Tuple] = {}
+
+    def sibling_ancestor_attrs(context_node: Element) -> Tuple:
+        """(prev_sib_tag, next_sib_tag, node_pos, ancestor_classes,
+        ancestor_ids) — the sibling/ancestor context behind the reference's
+        PREV_SIB_TAG/NEXT_SIB_TAG/NODE_POS/ANCESTOR_CLASS/ANCESTOR_ID
+        structural features (structural_features.py:91-106), captured at
+        parse time so featurization never re-walks the DOM."""
+        got = sib_cache.get(id(context_node))
+        if got is not None:
+            return got
+        prev_tag = next_tag = None
+        pos = None
+        par = context_node.getparent()
+        if par is not None:
+            sibs = par.getchildren()
+            idx = next(
+                i for i, c in enumerate(sibs) if c is context_node)
+            pos = idx + 1
+            if idx > 0:
+                prev_tag = sibs[idx - 1].tag
+            if idx < len(sibs) - 1:
+                next_tag = sibs[idx + 1].tag
+        anc_classes: List[str] = []
+        anc_ids: List[str] = []
+        a = context_node.getparent()
+        while a is not None:
+            c = a.get("class")
+            if c:
+                anc_classes.append(c)
+            i = a.get("id")
+            if i:
+                anc_ids.append(i)
+            a = a.getparent()
+        anc_classes.reverse()  # root-first, matching xpath order
+        anc_ids.reverse()
+        got = (prev_tag, next_tag, pos, anc_classes, anc_ids)
+        sib_cache[id(context_node)] = got
+        return got
 
     def structural_attrs(context_node: Element) -> Tuple[str, str, List[str]]:
         xpath = xpath_cache.get(id(context_node))
@@ -372,10 +416,14 @@ def parse_document(
                 continue
             xpath = html_tag = None
             html_attrs = None
+            prev_sib = next_sib = node_pos = None
+            anc_classes = anc_ids = None
             if cfg.structural:
                 context_node = node.getparent() if fld == "tail" else node
                 if context_node is not None:
                     xpath, html_tag, html_attrs = structural_attrs(context_node)
+                    (prev_sib, next_sib, node_pos,
+                     anc_classes, anc_ids) = sibling_ancestor_attrs(context_node)
             cell = paragraph.cell
             table = cell.table if cell else None
             section = paragraph.section
@@ -400,6 +448,9 @@ def parse_document(
                 "dep_labels": parts["dep_labels"],
                 "xpath": xpath, "html_tag": html_tag,
                 "html_attrs": html_attrs,
+                "prev_sib_tag": prev_sib, "next_sib_tag": next_sib,
+                "node_pos": node_pos,
+                "ancestor_classes": anc_classes, "ancestor_ids": anc_ids,
                 "section_sid": section.stable_id if section else None,
                 "paragraph_sid": paragraph.stable_id,
                 "table_sid": table.stable_id if table else None,

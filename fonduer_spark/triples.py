@@ -24,6 +24,45 @@ def normalize_surface(col: Column) -> Column:
     return F.upper(F.regexp_replace(F.trim(col), r"\s+", " "))
 
 
+def materialize_triples_multi(
+    candidates_with_prob: DataFrame,
+    rules,
+    canonicalize: Optional[Callable[[Column], Column]] = None,
+) -> DataFrame:
+    """Materialize SEVERAL relations from ONE scored candidate set in one
+    pass: ``rules`` is an ordered list of (pred_name, condition Column);
+    each candidate takes the first matching pred (non-matching rows drop).
+
+    The point at scale: the scored frame (the expensive parse+extract+label
+    lineage) is scanned once and the single groupBy carries the pred column
+    as an extra key — versus re-deriving the pipeline per relation.
+    """
+    canon = canonicalize or normalize_surface
+    pred = None
+    for name, cond in rules:
+        pred = (F.when(cond, F.lit(name)) if pred is None
+                else pred.when(cond, F.lit(name)))
+    return (
+        candidates_with_prob
+        .withColumn("pred", pred)
+        .where(F.col("pred").isNotNull())
+        .select(
+            canon(F.col("a_span_text")).alias("subj"),
+            "pred",
+            canon(F.col("b_span_text")).alias("obj"),
+            F.col("prob"),
+            F.col("candidate_sid"),
+            F.col("url"),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("prob").alias("prob"),
+            F.count(F.lit(1)).alias("n_provenance"),
+            F.slice(F.collect_list("candidate_sid"), 1, 16).alias("provenance"),
+        )
+    )
+
+
 def materialize_triples(
     candidates_with_prob: DataFrame,
     pred: str,

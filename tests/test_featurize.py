@@ -253,3 +253,12 @@ def test_span_text_fallback_without_sentences(spark, stages):
     assert any(k.startswith("e0_CONTAINS_[") for k in keys)
     # window features need sentence context; absent in fallback
     assert not any(k.startswith("e0_LEFT_[") for k in keys)
+
+
+def test_sibling_structural_features(spark, feats):
+    keys = {r.key for r in feature_keys(feats).collect()}
+    # part cell is the first td of its row; temp cells sit between/at-end
+    assert "e0_FIRST_NODE" in keys
+    assert "e1_PREV_SIB_TAG_[td]" in keys
+    assert "e1_LAST_NODE" in keys
+    assert any(k.startswith("e1_NODE_POS_[") for k in keys)

@@ -233,3 +233,26 @@ def test_parse_config_lingual_threading():
     html = "<html><body><p>Value 42 here.</p></body></html>"
     rows = parse_document("u", html, cfg, lp, emit_types={"sentence"})
     assert rows[0]["ner_tags"] == ["", "CARDINAL", ""]
+
+
+def test_sibling_and_ancestor_structural_context():
+    """Sentences carry prev/next sibling tags, node position, and root-first
+    ancestor class/id attrs (the inputs of PREV_SIB_TAG/NEXT_SIB_TAG/
+    NODE_POS/ANCESTOR_CLASS/ANCESTOR_ID structural features)."""
+    html = (
+        '<html><body><div class="outer" id="main">'
+        "<h2>title here</h2><p>middle text</p><ul>x</ul>"
+        "</div></body></html>"
+    )
+    rows = parse_document("u", html, CFG, LP, emit_types={"sentence"})
+    by_text = {r["text"]: r for r in rows}
+    mid = by_text["middle text"]
+    assert mid["prev_sib_tag"] == "h2"
+    assert mid["next_sib_tag"] == "ul"
+    assert mid["node_pos"] == 2
+    assert mid["ancestor_classes"] == ["outer"]
+    assert mid["ancestor_ids"] == ["main"]
+    first = by_text["title here"]
+    assert first["prev_sib_tag"] is None and first["node_pos"] == 1
+    last = by_text["x"]
+    assert last["next_sib_tag"] is None and last["node_pos"] == 3

@@ -99,3 +99,16 @@ def test_minhash_pairs_single_signature_pass(spark):
     assert len(re.findall(r"Generate \(\d+\)", plan)) == 4
     # signature = one aggregation per side over exploded shingles
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_multi_relation_single_parse(spark):
+    """Materializing BOTH relations (kg_triples_all) adds ZERO python stages
+    over the single-relation plan: the pred column rides the same groupBy,
+    the scored lineage is not re-derived per relation."""
+    import re
+
+    one = plan_of(E.q_kg_triples(spark, SF))
+    both = plan_of(E.q_kg_triples_all(spark, SF))
+    n_one = len(re.findall(r"MapInPandas \(\d+\)", one))
+    n_both = len(re.findall(r"MapInPandas \(\d+\)", both))
+    assert n_both == n_one
