@@ -14,8 +14,10 @@ queries()/oracle_sql() -> one entry per implemented operator family:
                   scan/filter/agg/join/window/set-op/sort-limit.
 
 Non-SQL-expressible ops (LSH-ANN with numpy hyperplanes, SimHash bit voting,
-full LSH pair generation) intentionally omit the oracle -> the driver records
-the weaker rows-only check.
+per-candidate sparse feature vectors) intentionally omit the oracle -> the
+driver records the weaker rows-only check. Everything md5-based (MinHash
+signatures, band keys, LSH pairs, entity canonicalization incl. connected
+components via a recursive CTE) IS oracle-checked.
 """
 
 from __future__ import annotations
@@ -97,7 +99,10 @@ def q_kg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: minhash-LSH + connected-components canonicalization
+    """MinHash-LSH + connected-components entity canonicalization —
+    oracle-checked end to end: the DuckDB oracle reconstructs every mention
+    surface from the corpus formulas, reproduces the md5 signatures/band
+    keys/Jaccard verify, and solves the components with a recursive CTE."""
     from fonduer_spark.linking import canonical_entities
 
     st = kg_stages(spark, sf_dir)
@@ -278,6 +283,83 @@ SELECT DISTINCT subj, 'stg_temp_min' AS pred,
 ORDER BY subj, pred, obj
 """
 
+
+# kg_entities oracle: reconstruct every mention surface from the corpus
+# formulas (temp-matcher tokens: title/h1/figcaption doc number, caption
+# table+doc numbers, tmin/tmax per body row — gated to the matcher's 1-3
+# digit full-match; part-matcher tokens: the part codes), then reproduce the
+# linking pipeline in SQL: char-3-shingle MinHash (k=12) -> 6 band keys ->
+# bucket pairs -> exact Jaccard verify >= 0.6 -> connected components via a
+# recursive CTE (min reachable label). Deterministic because every hash is
+# md5.
+_KG_ENTITIES_SQL = """
+WITH RECURSIVE docs AS (SELECT doc_id AS i FROM documents),
+tabs AS (
+  SELECT i, unnest(range(0, 1 + (i % 2) + CASE WHEN i % 50 = 0 THEN 6 ELSE 0 END)) AS t
+  FROM docs
+),
+cells AS (SELECT i, t, unnest(range(0, 3 + ((i + t) % 3))) AS r FROM tabs),
+toks AS (
+  -- temp-matcher tokens (-?\d{1,3} full match): title i, h1 i, figcaption i,
+  -- caption t and i per table, tmin/tmax per body row
+  SELECT CAST(i AS VARCHAR) AS s FROM docs WHERE i BETWEEN -999 AND 999
+  UNION ALL SELECT CAST(i AS VARCHAR) FROM docs WHERE i BETWEEN -999 AND 999
+  UNION ALL SELECT CAST(i AS VARCHAR) FROM docs WHERE i BETWEEN -999 AND 999
+  UNION ALL SELECT CAST(t AS VARCHAR) FROM tabs
+  UNION ALL SELECT CAST(i AS VARCHAR) FROM tabs WHERE i BETWEEN -999 AND 999
+  UNION ALL SELECT CAST(-(40 + ((i + r) % 30)) AS VARCHAR) FROM cells
+  UNION ALL SELECT CAST(85 + ((i*3 + r*7) % 60) AS VARCHAR) FROM cells
+  -- part-matcher tokens
+  UNION ALL SELECT 'PN' || CAST((i*17 + t*5 + r*3) % 900 + 100 AS VARCHAR)
+         || chr(CAST(65 + ((i + r) % 3) AS INTEGER)) FROM cells
+),
+forms AS (
+  SELECT upper(s) AS surface, CAST(count(*) AS BIGINT) AS n_refs
+  FROM toks GROUP BY 1
+),
+shf AS (
+  SELECT surface,
+    list_distinct(CASE WHEN length('^' || lower(surface) || '$') >= 3 THEN
+      list_transform(range(0, length('^' || lower(surface) || '$') - 2),
+        k -> substring('^' || lower(surface) || '$', k + 1, 3))
+    ELSE ['^' || lower(surface) || '$'] END) AS sh
+  FROM forms
+),
+sig AS (SELECT surface, sh, list_min(list_transform(sh, s -> md5(s || '#0'))) AS h0,
+    list_min(list_transform(sh, s -> md5(s || '#1'))) AS h1,
+    list_min(list_transform(sh, s -> md5(s || '#2'))) AS h2,
+    list_min(list_transform(sh, s -> md5(s || '#3'))) AS h3,
+    list_min(list_transform(sh, s -> md5(s || '#4'))) AS h4,
+    list_min(list_transform(sh, s -> md5(s || '#5'))) AS h5,
+    list_min(list_transform(sh, s -> md5(s || '#6'))) AS h6,
+    list_min(list_transform(sh, s -> md5(s || '#7'))) AS h7,
+    list_min(list_transform(sh, s -> md5(s || '#8'))) AS h8,
+    list_min(list_transform(sh, s -> md5(s || '#9'))) AS h9,
+    list_min(list_transform(sh, s -> md5(s || '#10'))) AS h10,
+    list_min(list_transform(sh, s -> md5(s || '#11'))) AS h11 FROM shf),
+keyed AS (SELECT surface, unnest(['0' || '|' || h0 || '|' || h1, '1' || '|' || h2 || '|' || h3, '2' || '|' || h4 || '|' || h5, '3' || '|' || h6 || '|' || h7, '4' || '|' || h8 || '|' || h9, '5' || '|' || h10 || '|' || h11]) AS bk FROM sig),
+pairs AS (
+  SELECT DISTINCT x.surface AS a, y.surface AS b
+  FROM keyed x JOIN keyed y USING (bk) WHERE x.surface < y.surface
+),
+edges AS (
+  SELECT a, b FROM pairs
+  JOIN shf sa ON sa.surface = a JOIN shf sb ON sb.surface = b
+  WHERE len(list_intersect(sa.sh, sb.sh)) /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6
+),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach AS (
+  SELECT surface AS v, surface AS c FROM forms
+  UNION
+  SELECT e.b AS v, r.c AS c FROM reach r JOIN sym e ON e.a = r.v
+),
+comp AS (SELECT v, min(c) AS component FROM reach GROUP BY v)
+SELECT coalesce(component, f.surface) AS entity_id, f.surface, n_refs
+FROM forms f LEFT JOIN comp ON comp.v = f.surface
+ORDER BY entity_id, surface
+"""
+
 _KG_NER_NUMBERS_SQL = _KG_CELLS_CTE + """
 , tc AS (SELECT i, count(*) AS nt FROM tabs GROUP BY i)
 , cc AS (SELECT i, count(*) AS nc FROM cells GROUP BY i)
@@ -318,8 +400,13 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: LSH banding + bucket pair join (non-SQL by design)
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), k=16, bands=8)
+    """LSH banding + bucket pair join — oracle-checked: the md5-based
+    signatures and band keys are reproduced in SQL (same construction as
+    the dedup_lsh_verified oracle, without the verify stage)."""
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), k=16, bands=8).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+    )
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +434,18 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
         "jaccard",
+    )
+
+
+def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force kernel, bounded to
+    vec_id < 1000 like dedup_jaccard; the scale path is LSH-bucketed —
+    sim_ann_lsh buckets). JVM zip_with/aggregate dot products."""
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 1000)
+    return dd.embedding_near_dup_pairs(emb, threshold=0.4).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "cos",
     )
 
 
@@ -403,6 +502,17 @@ _LSH_BAND_KEYS = ", ".join(
     + " || '|' || ".join(f"h{b * _LSH_ROWS + j}" for j in range(_LSH_ROWS))
     for b in range(_LSH_BANDS)
 )
+_DEDUP_MINHASH_PAIRS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, {_DD_SHINGLES3} AS shingles FROM documents
+),
+sig AS (SELECT doc, {_LSH_SIG_COLS} FROM sh),
+keyed AS (SELECT doc, unnest([{_LSH_BAND_KEYS}]) AS bk FROM sig)
+SELECT DISTINCT CAST(x.doc AS BIGINT) AS a, CAST(y.doc AS BIGINT) AS b
+FROM keyed x JOIN keyed y USING (bk) WHERE x.doc < y.doc
+ORDER BY a, b
+"""
+
 _DEDUP_LSH_VERIFIED_SQL = f"""
 WITH sh AS (
   SELECT doc_id AS doc, {_DD_SHINGLES3} AS shingles FROM documents
@@ -422,6 +532,21 @@ v AS (
 )
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jaccard
 FROM v WHERE jaccard >= 0.1 ORDER BY a, b
+"""
+
+_DEDUP_EMBCOS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < 1000)
+SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
+       round(list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v)) *
+              sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+FROM e x, e y
+WHERE x.vec_id < y.vec_id
+  AND round(list_dot_product(x.v, y.v) /
+            (sqrt(list_dot_product(x.v, x.v)) *
+             sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4
+ORDER BY a, b
 """
 
 _DEDUP_JACCARD_SQL = f"""
@@ -892,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embcos": q_dedup_embcos,
         "dedup_simhash": q_dedup_simhash,
         # text analysis family
         "text_token_count": q_text_token_count,
@@ -927,13 +1053,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_all": _KG_TRIPLES_ALL_SQL,
         "kg_feature_rowcol": _KG_FEATURE_ROWCOL_SQL,
         "kg_ner_numbers": _KG_NER_NUMBERS_SQL,
+        "kg_entities": _KG_ENTITIES_SQL,
         "kg_part_mentions": _KG_PART_MENTIONS_SQL,
         "kg_candidates_per_doc": _KG_CANDS_SQL,
         "kg_quality": ("SELECT 1.0 AS precision, 1.0 AS recall, 1.0 AS f1"),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SIG_SQL,
+        "dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
         "dedup_lsh_verified": _DEDUP_LSH_VERIFIED_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
+        "dedup_embcos": _DEDUP_EMBCOS_SQL,
         "text_token_count": _TOKEN_COUNT_SQL,
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _LANG_SQL,
@@ -953,5 +1082,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_rollup": _REL_ROLLUP_SQL,
         "rel_antijoin": _REL_ANTIJOIN_SQL,
         # rows-only (non-SQL-expressible by design):
-        # dedup_minhash_pairs, dedup_simhash, sim_ann_lsh
+        # kg_features, dedup_simhash, sim_ann_lsh
     }
