@@ -219,19 +219,15 @@ def q_kg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-level P/R/F1 of the pipeline's triples vs the corpus gold —
     the engine's port of the reference's entity_level_f1 evaluation
     (tests/shared/hardware_utils.py:71-131). The oracle asserts the exact
-    quality floor (P = R = 1.0 on the synthetic gold per FIXTURES.md §4);
-    Spark computes it for real from the parsed corpus."""
-    from fonduer_spark.corpus import gold_triples_sql
+    quality floor (P = R = 1.0 on the synthetic gold per FIXTURES.md §4).
+    The gold side is a native Spark plan over the documents table
+    (corpus.gold_triples_spark) — at scale it would be a parquet read of a
+    labeled split; nothing round-trips through the driver."""
+    from fonduer_spark.corpus import gold_triples_spark
     from fonduer_spark.labeling import entity_level_prf1
 
     got = kg_stages(spark, sf_dir)["triples"].select("subj", "pred", "obj")
-    import duckdb
-
-    con = duckdb.connect()
-    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
-            f"'{sf_dir}/documents.parquet'")
-    gold_rows = con.sql(gold_triples_sql()).fetchall()
-    gold = spark.createDataFrame(gold_rows, "subj string, pred string, obj string")
+    gold = gold_triples_spark(spark, sf_dir)
     m = entity_level_prf1(got, gold, ["subj", "pred", "obj"])
     return spark.createDataFrame(
         [(round(m["precision"], 6), round(m["recall"], 6), round(m["f1"], 6))],
@@ -603,6 +599,21 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token count (letter/digit runs + single symbols) — the
+    subword-budget proxy; one codegen'd regexp_count."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ts.bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-token ratio, top-bigram
+    fraction) — relational bigram census, not per-row O(n^2)."""
+    return ts.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _LTOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -661,6 +672,42 @@ _FINGERPRINT_SQL = """
 SELECT doc_id,
   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents ORDER BY doc_id
+"""
+
+_BPE_TOKENS_SQL = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{ts.BPE_ISH_RGX}')) AS BIGINT) AS n_bpe
+FROM documents ORDER BY doc_id
+"""
+
+_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_LTOKS} AS toks,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_LTOKS}) END AS n_toks
+  FROM documents
+),
+dup AS (
+  SELECT doc_id, n_toks,
+    CASE WHEN n_toks > 0
+         THEN round(1 - len(list_distinct(toks)) / n_toks, 6)
+         ELSE 0.0 END AS dup_token_ratio
+  FROM t
+),
+bi AS (
+  SELECT doc_id,
+    unnest(list_transform(range(0, n_toks - 1),
+                          i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+  FROM t WHERE n_toks >= 2
+),
+top AS (
+  SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_ratio
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(n_toks AS BIGINT) AS n_toks, dup_token_ratio,
+       coalesce(top_bigram_ratio, 0.0) AS top_bigram_ratio
+FROM dup d LEFT JOIN top ON top.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -1024,6 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_repetition": q_text_repetition,
         # similarity family
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1067,6 +1116,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _LANG_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
+        "text_bpe_tokens": _BPE_TOKENS_SQL,
+        "text_repetition": _REPETITION_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "mm_meta": _MM_META_SQL,
         "mm_features": _MM_FEATURES_SQL,

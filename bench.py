@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # scaling mode inflates the corpus so compute dominates fixed overheads
-SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
+# (24x = 120k docs: ~1.5-2.5s of per-run fixed cost — cache writes, AQE
+# replanning, broadcast jobs — must stay <5% of the 8-core leg's wall)
+SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "24"))
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -48,6 +50,11 @@ def run_kg(spark, sf_dir: str, measured_runs: int = 3, replicate: int = 1):
     from fonduer_spark.pipeline import kg_stages
 
     def once():
+        # Drop cross-run cached stages (extract_candidates_auto persists the
+        # fused stage; Spark's CacheManager would match the identical logical
+        # plan of the next run and skip the computation entirely — the run
+        # must measure fresh end-to-end work).
+        spark.catalog.clearCache()
         t0 = time.time()
         stages = kg_stages(spark, sf_dir, replicate=replicate)
         n = stages["triples"].count()

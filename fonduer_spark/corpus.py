@@ -187,6 +187,47 @@ def make_web_pages(
     return docs.mapInPandas(gen, schema=WEB_PAGES_SCHEMA)
 
 
+def gold_triples_spark(
+    spark: SparkSession, sf_dir: str, max_docs: int | None = None
+) -> DataFrame:
+    """The gold (subj, pred, obj) set as a native Spark plan over the same
+    modular formulas — for in-pipeline evaluation (entity_level_prf1) the
+    gold is a DataFrame derived from the documents table, not a driver-side
+    DuckDB detour (at scale it would be a parquet read of a labeled split).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("i"))
+    if max_docs is not None:
+        docs = docs.where(F.col("i") < max_docs)
+    tabs = docs.select(
+        "i",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (F.col("i") % 2)
+                + F.when(F.col("i") % 50 == 0, 6).otherwise(0),
+            )
+        ).alias("t"),
+    )
+    cells = tabs.select(
+        "i", "t",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(2) + (F.col("i") + F.col("t")) % 3)
+        ).alias("r"),
+    )
+    return cells.select(
+        F.concat(
+            F.lit("PN"),
+            ((F.col("i") * 17 + F.col("t") * 5 + F.col("r") * 3) % 900 + 100)
+            .cast("string"),
+            F.char(F.lit(65) + (F.col("i") + F.col("r")) % 3),
+        ).alias("subj"),
+        F.lit(PRED).alias("pred"),
+        (F.lit(85) + (F.col("i") * 3 + F.col("r") * 7) % 60)
+        .cast("string").alias("obj"),
+    ).distinct()
+
+
 def gold_triples_sql(max_docs: int | None = None, table: str = "documents") -> str:
     """DuckDB SQL reconstructing the gold distinct (subj, pred, obj) set from
     the corpus formulas — the oracle for the end-to-end pipeline query."""

@@ -173,6 +173,63 @@ def _lingual_unary(row: dict, prefix: str, lemmas, pos_tags,
                 yield f"DEP_HEAD_LEMMA_[{lemmas[h].lower()}]"
 
 
+def _walk_to_root(idx: int, parents, max_steps: int = 64):
+    """Token indices from idx up to the dependency root (parent == self or
+    out-of-range terminates; max_steps guards malformed cycles)."""
+    path = [idx]
+    i = idx
+    for _ in range(max_steps):
+        p = parents[i]
+        if p is None or p == i or not (0 <= p < len(parents)):
+            break
+        i = p
+        path.append(i)
+    return path
+
+
+def _dep_path_binary(row: dict) -> Iterator[str]:
+    """Dependency-path features between the two spans (the engine's subset
+    of the reference's TreeDLib relation features, textual_features.py:
+    109-133 / feature_libs/tree_structs.py): for same-sentence candidates
+    with dep parses, the label path from each span head up to the lowest
+    common ancestor, plus the LCA lemma. No-ops without lingual arrays,
+    like the reference without spaCy."""
+    if row.get("a_sentence_sid") != row.get("b_sentence_sid"):
+        return
+    parents = row.get("a_sent_dep_parents")
+    labels = row.get("a_sent_dep_labels")
+    lemmas = row.get("a_sent_lemmas")
+    if parents is None or labels is None:
+        return
+    parents = list(parents)
+    labels = list(labels)
+    lemmas = list(lemmas) if lemmas is not None else []
+    if not parents or not any(labels):
+        return
+    a_head = row.get("a_word_end")
+    b_head = row.get("b_word_end")
+    if a_head is None or b_head is None or a_head >= len(parents) \
+            or b_head >= len(parents):
+        return
+    pa = _walk_to_root(a_head, parents)
+    pb = _walk_to_root(b_head, parents)
+    in_a = {t: d for d, t in enumerate(pa)}
+    lca_depth_a = lca = None
+    for d_b, t in enumerate(pb):
+        if t in in_a:
+            lca = t
+            lca_depth_a = in_a[t]
+            lca_depth_b = d_b
+            break
+    if lca is None:
+        return
+    up = "/".join(labels[t] or "_" for t in pa[:lca_depth_a])
+    down = "/".join(labels[t] or "_" for t in reversed(pb[:lca_depth_b]))
+    yield f"DEP_PATH_[{up}]_[{down}]"
+    if 0 <= lca < len(lemmas) and lemmas[lca]:
+        yield f"DEP_LCA_LEMMA_[{lemmas[lca].lower()}]"
+
+
 def _visual_unary(row: dict, prefix: str) -> Iterator[str]:
     """Visual-layout features — the webtext payload carries no visual arrays
     (sentences have no page/bbox columns), so this is a structural no-op
@@ -510,6 +567,9 @@ def featurize(
                             emit(pre, name)
                 for name in _binary_feats(row):
                     emit("", name)
+                if have_words and "textual" in libset:
+                    for name in _dep_path_binary(row):
+                        emit("", name)
                 for cfn in custom_fns:
                     for name in cfn(row):
                         emit("", name)

@@ -27,6 +27,75 @@ def token_count(text: Column) -> Column:
     return F.when(F.length(F.trim(text)) == 0, 0).otherwise(F.size(tokens(text)))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space
+# symbols — the usual subword-tokenizer upper bound, kept ASCII-simple so
+# the Spark and DuckDB regex engines agree exactly
+BPE_ISH_RGX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letters/digits/symbol runs) — the
+    standard proxy for subword token counts in training-data budgeting;
+    one JVM regexp_count, codegen'd."""
+    return F.regexp_count(text, F.lit(BPE_ISH_RGX))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - dup_token_ratio: 1 - distinct/total lowercased tokens;
+    - top_bigram_ratio: occurrences of the most frequent token bigram over
+      all bigram slots.
+
+    The bigram census is relational (explode -> two groupBys) rather than a
+    per-row O(n^2) array scan — constant memory per row at any document
+    length, shuffles partial-aggregated map-side.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+    ).withColumn("n_toks", F.when(F.length(F.concat_ws("", "toks")) == 0, 0)
+                 .otherwise(F.size("toks")))
+    dup = base.select(
+        "doc_id", "n_toks",
+        F.when(
+            F.col("n_toks") > 0,
+            F.round(1 - F.size(F.array_distinct("toks")) / F.col("n_toks"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_token_ratio"),
+    )
+    bi = base.where(F.col("n_toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bi.groupBy("doc_id", "bg").count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_bg"),
+            F.sum("count").alias("n_bg"),
+        )
+        .select("doc_id",
+                F.round(F.col("top_bg") / F.col("n_bg"), 6)
+                .alias("top_bigram_ratio"))
+    )
+    return (
+        dup.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            "dup_token_ratio",
+            F.coalesce("top_bigram_ratio", F.lit(0.0)).alias("top_bigram_ratio"),
+        )
+    )
+
+
 def _marker_hits(text: Column, markers) -> Column:
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     arr = F.array(*[F.lit(m) for m in markers])

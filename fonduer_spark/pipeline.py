@@ -113,12 +113,18 @@ def kg_stages(
             py_throttler=same_row_py, column_throttler=same_row,
         )
         # label/triple path reads a SLIM variant (8 columns instead of 46):
-        # same rows, ~7x less pandas/Arrow transfer. The wide `candidates`
-        # frame stays available for featurization queries (lazy — only the
+        # same rows, ~7x less pandas/Arrow transfer. structural=False skips
+        # xpath/sibling/ancestor attach entirely — the label/triple path
+        # never reads them, and the DOM walks are ~15% of the fused stage's
+        # CPU (measured at 32 cores). The wide `candidates` frame keeps the
+        # full structural parse for featurization queries (lazy — only the
         # lineage a caller uses is computed).
+        from .parse import ParseConfig
+
         scored_input = extract_candidates_auto(
             docs, default_mention_specs(), "part_temp", "part", "temp",
             py_throttler=same_row_py, column_throttler=same_row, slim=True,
+            parse_cfg=ParseConfig(structural=False),
         )
     scored = with_marginals(scored_input, default_lfs())
     triples = materialize_triples(scored, pred=PRED, prob_threshold=0.5)

@@ -32,6 +32,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Cached stage outputs (extract_candidates_auto's fused frame, the
+        # mentions frame) are re-read within the same job graph; columnar
+        # compression costs ~2x the cache-write CPU for no benefit at this
+        # memory budget (measured: persist tax 1.2s -> 0.5s on the 40k-doc
+        # pipeline with compression off).
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")

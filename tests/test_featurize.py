@@ -262,3 +262,42 @@ def test_sibling_structural_features(spark, feats):
     assert "e1_PREV_SIB_TAG_[td]" in keys
     assert "e1_LAST_NODE" in keys
     assert any(k.startswith("e1_NODE_POS_[") for k in keys)
+
+
+def test_dep_path_binary_features(spark):
+    """TreeDLib-style dependency-path relation features: label paths from
+    each span head to the lowest common ancestor + the LCA lemma."""
+    from fonduer_spark.candidates_op import extract_candidates
+    from fonduer_spark.mentions_op import MENTION_COLUMNS, MENTION_SCHEMA
+    from fonduer_spark.parse import CONTEXT_COLUMNS, CONTEXT_SCHEMA
+
+    def m(mtype, ws, we, cs, ce, text, sid_i):
+        r = dict.fromkeys(MENTION_COLUMNS)
+        r.update(mention_type=mtype, url="d",
+                 stable_id=f"d::span_mention:{sid_i}:{sid_i+ce-cs}",
+                 sentence_sid="d::sentence:0:31", sentence_position=0,
+                 char_start=cs, char_end=ce, word_start=ws, word_end=we,
+                 span_text=text, emit_seq=0)
+        return tuple(r[c] for c in MENTION_COLUMNS)
+
+    words = "the part PN10A rated 85 degrees".split()
+    mentions = spark.createDataFrame(
+        [m("A", 2, 2, 9, 13, "PN10A", 9), m("B", 4, 4, 21, 22, "85", 21)],
+        MENTION_SCHEMA)
+    s = dict.fromkeys(CONTEXT_COLUMNS)
+    # tree: PN10A (idx 2) is root; rated->PN10A; 85->rated; degrees->rated
+    s.update(url="d", stable_id="d::sentence:0:31", ctx_type="sentence",
+             position=0, text=" ".join(words), words=words,
+             char_offsets=[0, 4, 9, 15, 21, 24],
+             abs_char_offsets=[0, 4, 9, 15, 21, 24],
+             lemmas=["the", "part", "pn10a", "rate", "85", "degree"],
+             pos_tags=["DT", "NN", "NN", "VB", "CD", "NN"],
+             dep_labels=["det", "nsubj", "ROOT", "acl", "num", "dobj"],
+             dep_parents=[2, 2, 2, 2, 3, 3])
+    sentences = spark.createDataFrame(
+        [tuple(s[c] for c in CONTEXT_COLUMNS)], CONTEXT_SCHEMA)
+    cands = extract_candidates(mentions, "AB", "A", "B")
+    keys = {k for r in featurize(cands, sentences).collect() for k in r.keys}
+    # a head = PN10A (the LCA itself): empty up-path; b head = 85 -> rated
+    assert "DEP_PATH_[]_[acl/num]" in keys
+    assert "DEP_LCA_LEMMA_[pn10a]" in keys

@@ -189,3 +189,28 @@ def test_ann_multiprobe_recall(spark):
     r0, r1 = recall(3, 0), recall(3, 1)
     assert r1 > r0           # multiprobe strictly improves recall
     assert r1 >= 0.6         # empirically 0.70 at sf0.01, seed=42
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "ab12cd!"), (2, ""), (3, "a-b c.d")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id", ts.bpe_token_count(F.col("text")).alias("n")).collect()}
+    # "ab12cd!" -> ab | 12 | cd | !  ;  "a-b c.d" -> a - b c . d
+    assert out == {0: 2, 1: 4, 2: 0, 3: 6}
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a a"),            # all dup; top bigram "a a" = 3/3
+         (1, "w x y z"),            # no dups; every bigram unique -> 1/3
+         (2, "spam ham spam ham spam"),  # "spam ham" 2 of 4 bigrams
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ts.repetition_stats(df).collect()}
+    assert out[0].dup_token_ratio == 0.75 and out[0].top_bigram_ratio == 1.0
+    assert out[1].dup_token_ratio == 0.0
+    assert abs(out[1].top_bigram_ratio - 1 / 3) < 1e-6
+    assert abs(out[2].top_bigram_ratio - 0.5) < 1e-6
+    assert out[3].n_toks == 0 and out[3].dup_token_ratio == 0.0
