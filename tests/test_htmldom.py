@@ -75,3 +75,72 @@ def test_void_elements_and_implicit_close():
 def test_fragment_wrap():
     root = parse_html("<p>a</p><p>b</p>")
     assert root.tag == "div" and len(root) == 2
+
+
+def _tree_equal(a, b):
+    return (
+        a.tag == b.tag and a.attrib == b.attrib and a.text == b.text
+        and a.tail == b.tail and len(a) == len(b)
+        and all(_tree_equal(x, y) for x, y in zip(a, b))
+    )
+
+
+def test_fast_scanner_equivalence_corpus():
+    """The fast tokenizer must produce the exact same DOM as the stdlib
+    html.parser path on every synthetic corpus page (the documents that the
+    whole oracle chain depends on)."""
+    from fonduer_spark.corpus import render_page
+    from fonduer_spark.htmldom import parse_html, parse_html_stdlib, tostring
+
+    for i in range(200):
+        html = render_page(i, "alpha beta gamma delta epsilon")
+        fast, std = parse_html(html), parse_html_stdlib(html)
+        assert _tree_equal(fast, std), f"doc {i}"
+        assert tostring(fast) == tostring(std), f"doc {i}"
+
+
+def test_fast_scanner_equivalence_nasty():
+    """Unit equivalence on markup corners: entities (text + attrs), quotes,
+    valueless and unquoted attrs, self-closing, comments containing '>',
+    doctype/PI, rawtext script/style with tags inside, unquoted value with
+    trailing slash, tag soup (unclosed/mismatched), case folding."""
+    from fonduer_spark.htmldom import parse_html, parse_html_stdlib, tostring
+
+    cases = [
+        '<html><body><p>&amp; &lt;x&gt; &#65;&#x42;</p></body></html>',
+        '<div title="a &amp; b" alt=\'c &lt; d\'>t</div>',
+        '<td colspan rowspan="2" align=left>x</td>',
+        '<div><br/><img src="i.png"/><hr></div>',
+        '<!DOCTYPE html><html><!-- a > b --><body>x</body></html>',
+        '<?xml version="1.0"?><div>pi</div>',
+        '<html><script>if (a<b && c>d) { x="</div>"; }</script><p>t</p></html>',
+        '<style>.c { content: "<p>"; }</style>',
+        '<a href=foo/>tail</a>',
+        '<ul><li>one<li>two<li>three</ul>',
+        '<table><tr><td>a<td>b<tr><td>c</table>',
+        '<DIV CLASS="Up">X</DIV>',
+        '<p>unclosed <b>bold <i>both</p><p>next</p>',
+        '<div>text</span></div>',
+        '<div  a = "1"   b  =  2  >x</div>',
+        '<div>no tags at all',
+        'plain text only',
+        '<x:ns attr:q="1">ns</x:ns>',
+    ]
+    for h in cases:
+        fast, std = parse_html(h), parse_html_stdlib(h)
+        assert _tree_equal(fast, std), h
+        assert tostring(fast) == tostring(std), h
+
+
+def test_fast_scanner_fallback_paths():
+    """Out-of-grammar inputs must transparently use the stdlib parser."""
+    from fonduer_spark.htmldom import parse_html, parse_html_stdlib, tostring
+
+    cases = [
+        '<div>a < b</div>',          # stray '<' as text
+        '<div><!-- unterminated',    # unterminated comment
+        '<script>never closed',      # rawtext without close
+        '<div',                      # unterminated tag
+    ]
+    for h in cases:
+        assert tostring(parse_html(h)) == tostring(parse_html_stdlib(h)), h
