@@ -215,6 +215,39 @@ def q_kg_triples_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_visual_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual-modality pipeline, oracle-checked: the corpus rendered as hOCR
+    (one ocr_page per table, one ocr_line per body row), preprocessed by
+    sources.rewrite_hocr, parsed with ParseConfig(visual='hocr') so words
+    carry bboxes, and candidates throttled by same_page AND is_horz_aligned
+    — the same (part, temp) pairs recovered through BBOX GEOMETRY instead of
+    table structure: 2 per body row per doc."""
+    from fonduer_spark.candidates_op import extract_candidates
+    from fonduer_spark.corpus import load_docs, render_hocr
+    from fonduer_spark.data_model_utils import is_horz_aligned, same_page
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.parse import ParseConfig
+    from fonduer_spark.pipeline import default_mention_specs
+    from fonduer_spark.sources import rewrite_hocr
+
+    docs = load_docs(spark, sf_dir)
+    mentions = extract_mentions_fused(
+        docs, default_mention_specs(),
+        render=lambda i, text: rewrite_hocr(render_hocr(int(i))),
+        parse_cfg=ParseConfig(visual="hocr"),
+    )
+    cands = extract_candidates(
+        mentions, "part_temp_visual", "part", "temp",
+        throttler=lambda df: same_page() & is_horz_aligned(),
+        throttler_kind="column",
+    )
+    return (
+        cands.groupBy("url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("url")
+    )
+
+
 def q_kg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-level P/R/F1 of the pipeline's triples vs the corpus gold —
     the engine's port of the reference's entity_level_f1 evaluation
@@ -1053,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_all": q_kg_triples_all,
         "kg_feature_rowcol": q_kg_feature_rowcol,
         "kg_ner_numbers": q_kg_ner_numbers,
+        "kg_visual_align": q_kg_visual_align,
         "kg_part_mentions": q_kg_part_mentions,
         "kg_candidates_per_doc": q_kg_candidates_per_doc,
         "kg_features": q_kg_features,
@@ -1102,6 +1136,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_all": _KG_TRIPLES_ALL_SQL,
         "kg_feature_rowcol": _KG_FEATURE_ROWCOL_SQL,
         "kg_ner_numbers": _KG_NER_NUMBERS_SQL,
+        # visual pipeline recovers exactly the per-row (part, tmin/tmax)
+        # pairs -> same count formula as the structural candidate query
+        "kg_visual_align": _KG_CANDS_SQL.replace("n_candidates", "n"),
         "kg_entities": _KG_ENTITIES_SQL,
         "kg_part_mentions": _KG_PART_MENTIONS_SQL,
         "kg_candidates_per_doc": _KG_CANDS_SQL,

@@ -216,6 +216,49 @@ def get_sentence_ngrams_col(sent_words: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# visual predicates over the candidate frame (reference
+# utils/data_model_utils/visual.py:35-155 / utils_visual.py:65-137 — exact
+# alignment math: 1.5pt overlap shrink, 2pt borders, 5pt centers) — pure
+# column arithmetic, usable as throttlers or LFs
+# ---------------------------------------------------------------------------
+def _visual_pair() -> Column:
+    return F.col("a_page").isNotNull() & F.col("b_page").isNotNull()
+
+
+def same_page(_df: DataFrame = None) -> Column:
+    return _visual_pair() & (F.col("a_page") == F.col("b_page"))
+
+
+def is_horz_aligned(_df: DataFrame = None) -> Column:
+    return _visual_pair() & ~(
+        (F.col("a_top") + 1.5 > F.col("b_bottom") - 1.5)
+        | (F.col("b_top") + 1.5 > F.col("a_bottom") - 1.5)
+    )
+
+
+def is_vert_aligned(_df: DataFrame = None) -> Column:
+    return _visual_pair() & ~(
+        (F.col("a_left") + 1.5 > F.col("b_right") - 1.5)
+        | (F.col("b_left") + 1.5 > F.col("a_right") - 1.5)
+    )
+
+
+def is_vert_aligned_left(_df: DataFrame = None) -> Column:
+    return _visual_pair() & (F.abs(F.col("a_left") - F.col("b_left")) <= 2)
+
+
+def is_vert_aligned_right(_df: DataFrame = None) -> Column:
+    return _visual_pair() & (F.abs(F.col("a_right") - F.col("b_right")) <= 2)
+
+
+def is_vert_aligned_center(_df: DataFrame = None) -> Column:
+    return _visual_pair() & (
+        F.abs((F.col("a_right") + F.col("a_left")) / 2.0
+              - (F.col("b_right") + F.col("b_left")) / 2.0) <= 5
+    )
+
+
+# ---------------------------------------------------------------------------
 # 3. row-level python helpers for pandas LFs (reference utils.py:40-84)
 # ---------------------------------------------------------------------------
 def overlap(a: Iterable, b: Iterable) -> bool:

@@ -231,14 +231,46 @@ def _dep_path_binary(row: dict) -> Iterator[str]:
 
 
 def _visual_unary(row: dict, prefix: str) -> Iterator[str]:
-    """Visual-layout features — the webtext payload carries no visual arrays
-    (sentences have no page/bbox columns), so this is a structural no-op
-    gate matching the reference's is_visual() check
-    (visual_features.py:43,56). Kept as the extension point for PDF/hOCR
-    payloads."""
+    """Visual-layout features (visual_features.py:76-85): gated on the span
+    carrying a page (hOCR/PDF payloads attach bboxes at parse time; webtext
+    sentences have no visual arrays so this no-ops, matching the
+    reference's is_visual() check)."""
     if row.get(f"{prefix}page") is None:
         return
-    yield f"PAGE_[{row[f'{prefix}page']}]"  # pragma: no cover
+    yield f"PAGE_[{row[f'{prefix}page']}]"
+
+
+def _bbox(row: dict, prefix: str):
+    if row.get(f"{prefix}page") is None:
+        return None
+    return (row[f"{prefix}left"], row[f"{prefix}top"],
+            row[f"{prefix}right"], row[f"{prefix}bottom"])
+
+
+def _visual_binary(row: dict) -> Iterator[str]:
+    """Relation-level visual features (visual_features.py:88-108) with the
+    reference's exact alignment math (utils_visual.py:65-137: 1.5pt overlap
+    shrink, 2pt borders, 5pt centers)."""
+    pa, pb = row.get("a_page"), row.get("b_page")
+    if pa is None or pb is None:
+        return
+    if pa == pb:
+        yield "SAME_PAGE"
+    a, b = _bbox(row, "a_"), _bbox(row, "b_")
+    if a is None or b is None:
+        return
+    al, at, ar, ab_ = a
+    bl, bt, br, bb = b
+    if not (at + 1.5 > bb - 1.5 or bt + 1.5 > ab_ - 1.5):
+        yield "HORZ_ALIGNED"
+    if not (al + 1.5 > br - 1.5 or bl + 1.5 > ar - 1.5):
+        yield "VERT_ALIGNED"
+    if abs(al - bl) <= 2:
+        yield "VERT_ALIGNED_LEFT"
+    if abs(ar - br) <= 2:
+        yield "VERT_ALIGNED_RIGHT"
+    if abs((ar + al) / 2.0 - (br + bl) / 2.0) <= 5:
+        yield "VERT_ALIGNED_CENTER"
 
 
 def _tabular_unary(row: dict, prefix: str) -> Iterator[str]:
@@ -567,6 +599,9 @@ def featurize(
                             emit(pre, name)
                 for name in _binary_feats(row):
                     emit("", name)
+                if "visual" in libset:
+                    for name in _visual_binary(row):
+                        emit("", name)
                 if have_words and "textual" in libset:
                     for name in _dep_path_binary(row):
                         emit("", name)

@@ -325,6 +325,13 @@ def strip_tags(root: Element, tags) -> None:
       * e.tail joins the last spliced child's tail, or the same target.
     """
     tagset = set(tags)
+    unwrap_where(root, lambda el: el.tag in tagset)
+
+
+def unwrap_where(root: Element, predicate) -> None:
+    """strip_tags generalized to an arbitrary element predicate (e.g. by
+    class attribute — the hOCR preprocessor unwraps ocr_line/ocrx_word
+    elements this way, mirroring BeautifulSoup's ``unwrap``)."""
 
     def _strip(parent: Element) -> None:
         # Post-order: flatten inside children first so nested flatten-tags
@@ -334,7 +341,7 @@ def strip_tags(root: Element, tags) -> None:
         i = 0
         while i < len(parent._children):
             child = parent._children[i]
-            if child.tag not in tagset:
+            if not predicate(child):
                 i += 1
                 continue
 

@@ -54,6 +54,11 @@ MENTION_FIELDS = [
     ("node_pos", _I),
     ("ancestor_classes", _AS),
     ("ancestor_ids", _AS),
+    ("page", _I),        # visual: page of the span's first word (hOCR/PDF)
+    ("left", _I),        # visual: span bbox = min/max over its words
+    ("top", _I),
+    ("right", _I),
+    ("bottom", _I),
 ]
 MENTION_COLUMNS = [n for n, _ in MENTION_FIELDS]
 MENTION_SCHEMA = T.StructType([T.StructField(n, t, True) for n, t in MENTION_FIELDS])
@@ -65,6 +70,7 @@ _SENTENCE_INPUT_COLS = [
     "row_start", "row_end", "col_start", "col_end", "xpath", "html_tag",
     "html_attrs", "prev_sib_tag", "next_sib_tag", "node_pos",
     "ancestor_classes", "ancestor_ids",
+    "page", "left", "top", "right", "bottom",
 ]
 
 
@@ -125,7 +131,31 @@ def iter_sentence_mentions(row: dict, spec_list, fast_list):
         "node_pos": row.get("node_pos"),
         "ancestor_classes": row.get("ancestor_classes"),
         "ancestor_ids": row.get("ancestor_ids"),
+        "page": None, "left": None, "top": None,
+        "right": None, "bottom": None,
     }
+    # sentence-level per-word visual arrays -> span bbox per mention
+    # (page of the first word; bbox = min/max over the span's words,
+    # ignoring unaligned words marked -1)
+    v_page = row.get("page")
+    has_visual = v_page is not None and len(v_page)
+
+    def span_bbox(out: dict, ws: int, we: int) -> None:
+        if not has_visual:
+            return
+        pg = v_page[ws]
+        if pg is None or pg < 0:
+            return
+        lefts = [x for x in row["left"][ws:we + 1] if x >= 0]
+        tops = [x for x in row["top"][ws:we + 1] if x >= 0]
+        rights = [x for x in row["right"][ws:we + 1] if x >= 0]
+        bottoms = [x for x in row["bottom"][ws:we + 1] if x >= 0]
+        if lefts:
+            out["page"] = int(pg)
+            out["left"] = int(min(lefts))
+            out["top"] = int(min(tops))
+            out["right"] = int(max(rights))
+            out["bottom"] = int(max(bottoms))
     sv = None
     for spec, fast in zip(spec_list, fast_list):
         if fast is not None:
@@ -146,6 +176,7 @@ def iter_sentence_mentions(row: dict, spec_list, fast_list):
                     word_start=i, word_end=i,
                     span_text=w, emit_seq=seq,
                 )
+                span_bbox(out, i, i)
                 seq += 1
                 yield out
             continue
@@ -165,6 +196,7 @@ def iter_sentence_mentions(row: dict, spec_list, fast_list):
                 word_end=span.get_word_end_index(),
                 span_text=span.get_span(), emit_seq=seq,
             )
+            span_bbox(out, out["word_start"], out["word_end"])
             yield out
 
 

@@ -80,6 +80,11 @@ CONTEXT_FIELDS: List[Tuple[str, T.DataType]] = [
     ("node_pos", _I),         # 1-based position among element siblings
     ("ancestor_classes", _AS),  # root-first class attrs up the DOM chain
     ("ancestor_ids", _AS),      # root-first id attrs up the DOM chain
+    ("page", _AI),       # per-word visual page (hOCR/PDF payloads; else null)
+    ("left", _AI),       # per-word bbox coordinates
+    ("top", _AI),
+    ("right", _AI),
+    ("bottom", _AI),
     ("section_sid", _S),
     ("paragraph_sid", _S),
     ("table_sid", _S),
@@ -111,6 +116,10 @@ class ParseConfig:
     # "regex_tagger" (deterministic rule-based POS/NER/lemma/dep — lights up
     # NER matchers and lingual features without spaCy)
     lingual: str = "simple"
+    # visual modality: "" (none) or "hocr" — pick up the per-word bbox/page
+    # attributes accumulated by sources.rewrite_hocr and attach them to
+    # sentences (the engine's HocrVisualParser equivalent)
+    visual: str = ""
 
     def make_lingual_parser(self) -> LingualParser:
         if self.lingual == "regex_tagger":
@@ -331,6 +340,65 @@ def parse_document(
 
     xpath_cache: Dict[int, str] = {}
     sib_cache: Dict[int, Tuple] = {}
+    visual_state: Dict[int, Dict[str, Any]] = {}
+
+    def _visual_node_state(node: Element) -> Optional[Dict[str, Any]]:
+        """Lazily parse a node's hOCR-accumulated visual attributes into a
+        token-aligned consumption state (the engine's HocrVisualParser:
+        reference hocr_visual_parser.py:38-160, with the spaCy alignment
+        replaced by deterministic substring consumption — every sentence
+        word is a substring of exactly one whitespace-delimited hOCR token,
+        modulo the delimiter the sentence splitter removed)."""
+        st = visual_state.get(id(node))
+        if st is not None:
+            return st if st else None
+        toks_attr = node.get("tokens")
+        if not toks_attr:
+            visual_state[id(node)] = {}
+            return None
+        for rgx, repl in replacements:  # same normalization as the text
+            toks_attr = rgx.sub(repl, toks_attr)
+        toks = toks_attr.split()
+        try:
+            arrays = {
+                k: [int(x) for x in (node.get(a) or "").split()]
+                for k, a in (("page", "ppageno"), ("left", "left"),
+                             ("top", "top"), ("right", "right"),
+                             ("bottom", "bottom"))
+            }
+        except ValueError:
+            visual_state[id(node)] = {}
+            return None
+        if any(len(v) != len(toks) for v in arrays.values()):
+            visual_state[id(node)] = {}
+            return None
+        st = {"toks": toks, "arrays": arrays, "ti": 0, "ci": 0}
+        visual_state[id(node)] = st
+        return st
+
+    def _consume_visual(st: Dict[str, Any], words) -> Optional[Dict[str, list]]:
+        """Map each sentence word to its hOCR token's bbox, advancing the
+        node-level cursor (tokens may span sentences; the sentence delimiter
+        and splits inside a token advance the intra-token position)."""
+        toks = st["toks"]
+        out = {k: [] for k in ("page", "left", "top", "right", "bottom")}
+        for w in words:
+            hit = None
+            ti, ci = st["ti"], st["ci"]
+            for probe in range(ti, min(ti + 3, len(toks))):
+                start = ci if probe == ti else 0
+                pos = toks[probe].find(w, start)
+                if pos >= 0:
+                    hit = probe
+                    end = pos + len(w)
+                    if end >= len(toks[probe]):
+                        st["ti"], st["ci"] = probe + 1, 0
+                    else:
+                        st["ti"], st["ci"] = probe, end
+                    break
+            for k in out:
+                out[k].append(st["arrays"][k][hit] if hit is not None else -1)
+        return out
 
     def sibling_ancestor_attrs(context_node: Element) -> Tuple:
         """(prev_sib_tag, next_sib_tag, node_pos, ancestor_classes,
@@ -376,8 +444,12 @@ def parse_document(
             xpath = getpath(context_node)
             xpath_cache[id(context_node)] = xpath
         html_tag = context_node.tag
+        # bookkeeping + hOCR-accumulated visual attrs are not structural
+        # signal (the reference clears them too, hocr_visual_parser.py:75-90)
+        skip = {"visited", "left", "top", "right", "bottom", "ppageno",
+                "tokens", "x_wconf", "fonduer"}
         html_attrs = [
-            f"{k}={v}" for k, v in context_node.attrib.items() if k != "visited"
+            f"{k}={v}" for k, v in context_node.attrib.items() if k not in skip
         ]
         # Merge inline <style> class CSS into the style attr
         # (reference parser.py:521-562).
@@ -418,12 +490,16 @@ def parse_document(
             html_attrs = None
             prev_sib = next_sib = node_pos = None
             anc_classes = anc_ids = None
-            if cfg.structural:
-                context_node = node.getparent() if fld == "tail" else node
-                if context_node is not None:
-                    xpath, html_tag, html_attrs = structural_attrs(context_node)
-                    (prev_sib, next_sib, node_pos,
-                     anc_classes, anc_ids) = sibling_ancestor_attrs(context_node)
+            visual = None
+            context_node = node.getparent() if fld == "tail" else node
+            if cfg.structural and context_node is not None:
+                xpath, html_tag, html_attrs = structural_attrs(context_node)
+                (prev_sib, next_sib, node_pos,
+                 anc_classes, anc_ids) = sibling_ancestor_attrs(context_node)
+            if cfg.visual == "hocr" and context_node is not None:
+                vstate = _visual_node_state(context_node)
+                if vstate is not None:
+                    visual = _consume_visual(vstate, parts["words"])
             cell = paragraph.cell
             table = cell.table if cell else None
             section = paragraph.section
@@ -451,6 +527,11 @@ def parse_document(
                 "prev_sib_tag": prev_sib, "next_sib_tag": next_sib,
                 "node_pos": node_pos,
                 "ancestor_classes": anc_classes, "ancestor_ids": anc_ids,
+                "page": visual["page"] if visual else None,
+                "left": visual["left"] if visual else None,
+                "top": visual["top"] if visual else None,
+                "right": visual["right"] if visual else None,
+                "bottom": visual["bottom"] if visual else None,
                 "section_sid": section.stable_id if section else None,
                 "paragraph_sid": paragraph.stable_id,
                 "table_sid": table.stable_id if table else None,

@@ -93,3 +93,111 @@ def dataframe_docs(df: DataFrame, url_col: str, html_col: str,
                    lang: str = "en") -> DataFrame:
     """Any DataFrame with (url, html-string) columns -> web_pages shape."""
     return _finish(df, F.col(url_col), F.col(html_col), lang)
+
+
+# ---------------------------------------------------------------------------
+# hOCR preprocessor (reference hocr_doc_preprocessor.py:46-164)
+# ---------------------------------------------------------------------------
+_HOCR_VISUAL_KEYS = ("left", "top", "right", "bottom", "ppageno", "tokens")
+
+
+def _hocr_prop(el, name: str):
+    title = el.get("title")
+    if not title:
+        return None
+    for prop in title.split(";"):
+        parts = prop.split(None, 1)
+        if len(parts) == 2 and parts[0] == name:
+            return parts[1]
+    return None
+
+
+def _has_class(el, cls: str) -> bool:
+    return cls in (el.get("class") or "").split()
+
+
+def rewrite_hocr(html_text: str, space: bool = True) -> str:
+    """Rewrite one hOCR document exactly like the reference preprocessor
+    (hocr_doc_preprocessor.py:80-140): unwrap ocr_line/ocrx_line, accumulate
+    each ocrx_word's bbox into its PARENT element's left/top/right/bottom/
+    ppageno/tokens attributes (one entry per whitespace token), normalize the
+    word text, unwrap the word spans. The returned html parses with the
+    ordinary engine parser; ParseConfig(visual="hocr") picks the attributes
+    back up and attaches per-word coordinates to sentences."""
+    from .htmldom import parse_html, tostring, unwrap_where
+
+    root = parse_html(html_text)
+    unwrap_where(
+        root,
+        lambda el: _has_class(el, "ocr_line") or _has_class(el, "ocrx_line"),
+    )
+    pages = [el for el in root.iterdescendants() if _has_class(el, "ocr_page")]
+    for p, page in enumerate(pages):
+        for word in [el for el in page.iterdescendants()
+                     if _has_class(el, "ocrx_word")]:
+            parent = word.getparent()
+            bbox = (_hocr_prop(word, "bbox") or "").split()
+            if len(bbox) != 4:
+                continue
+            left, top, right, bottom = bbox
+            toks = (word.text or "").split()
+            acc = {k: (parent.get(k) or "").split()
+                   for k in _HOCR_VISUAL_KEYS}
+            for _ in toks:
+                acc["left"].append(left)
+                acc["top"].append(top)
+                acc["right"].append(right)
+                acc["bottom"].append(bottom)
+                acc["ppageno"].append(str(p))
+            acc["tokens"].extend(toks)
+            for k in _HOCR_VISUAL_KEYS:
+                parent.set(k, " ".join(acc[k]))
+            parent.set("fonduer", "1")
+            word.text = (" " if space else "").join(toks)
+        # unwrap the word spans; separate consecutive words with one space
+        # (the reference relies on inter-span whitespace in the raw hOCR —
+        # here the normalization is explicit)
+        for word in [el for el in page.iterdescendants()
+                     if _has_class(el, "ocrx_word")]:
+            if word.tail is None or not word.tail.strip():
+                word.tail = " " + (word.tail or "").lstrip()
+    unwrap_where(root, lambda el: _has_class(el, "ocrx_word"))
+    # normalize whitespace in the marked parents' text so sentence words ==
+    # the accumulated tokens (reference: parent.smooth + linebreak cleanup)
+    for parent in [el for el in root.iterdescendants()
+                   if el.get("fonduer") == "1"]:
+        if parent.text:
+            parent.text = " ".join(parent.text.split())
+    return tostring(root)
+
+
+def hocr_docs(spark: SparkSession, path: str, space: bool = True) -> DataFrame:
+    """Directory of .hocr files -> web_pages with visual attrs accumulated
+    per the reference HOCRDocPreprocessor; parse with
+    ``ParseConfig(visual="hocr")`` to attach word coordinates."""
+    import pandas as pd
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.hocr")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["path"],
+                "warc_ts": pd.NaT,
+                "html": [
+                    rewrite_hocr(bytes(c).decode("utf-8", errors="replace"),
+                                 space).encode("utf-8")
+                    for c in pdf["content"]
+                ],
+                "text": ["" for _ in pdf["path"]],
+                "lang": ["en" for _ in pdf["path"]],
+            })
+
+    from .corpus import WEB_PAGES_SCHEMA
+
+    return raw.mapInPandas(fn, WEB_PAGES_SCHEMA)

@@ -213,3 +213,107 @@ def test_with_row_ngrams_join(spark, stages):
         assert r.b_span_text.lower() in r.b_row_ngrams
         # and the part code that shares its row
         assert r.a_span_text.lower() in r.b_row_ngrams
+
+
+HOCR_FIXTURE = """<html>
+<head><meta name="ocr-capabilities" content="ocr_page ocr_carea ocr_par ocr_line ocrx_word"/></head>
+<body>
+<div class="ocr_page" title="bbox 0 0 600 800; ppageno 0">
+ <p class="ocr_par">
+  <span class="ocr_line" title="bbox 10 10 300 30">
+   <span class="ocrx_word" title="bbox 10 10 60 30">Part</span>
+   <span class="ocrx_word" title="bbox 70 10 140 30">PN10A</span>
+  </span>
+  <span class="ocr_line" title="bbox 10 40 300 60">
+   <span class="ocrx_word" title="bbox 10 40 50 60">rated</span>
+   <span class="ocrx_word" title="bbox 60 40 90 60">85.</span>
+   <span class="ocrx_word" title="bbox 100 40 190 60">Stable now</span>
+  </span>
+ </p>
+</div>
+<div class="ocr_page" title="bbox 0 0 600 800; ppageno 1">
+ <p class="ocr_par">
+  <span class="ocrx_word" title="bbox 10 10 90 30">Appendix</span>
+ </p>
+</div>
+</body></html>"""
+
+
+def test_hocr_rewrite_and_visual_parse(spark):
+    """hOCR end to end: rewrite_hocr accumulates word bboxes onto parents
+    (reference HOCRDocPreprocessor), ParseConfig(visual='hocr') aligns them
+    back onto sentence words — including a sentence-split token ('85.') and
+    a multi-word ocrx_word ('Stable now')."""
+    from fonduer_spark.lingual import SimpleParser
+    from fonduer_spark.parse import ParseConfig, parse_document
+    from fonduer_spark.sources import rewrite_hocr
+
+    html = rewrite_hocr(HOCR_FIXTURE)
+    assert 'class="ocrx_word"' not in html and 'class="ocr_line"' not in html
+    cfg = ParseConfig(visual="hocr")
+    rows = [r for r in parse_document("u", html, cfg, SimpleParser("."))
+            if r["ctx_type"] == "sentence"]
+    by_text = {r["text"]: r for r in rows}
+    s1 = by_text["Part PN10A rated 85"]
+    assert s1["page"] == [0, 0, 0, 0]
+    assert s1["left"] == [10, 70, 10, 60]
+    assert s1["top"] == [10, 10, 40, 40]
+    assert s1["right"] == [60, 140, 50, 90]
+    # multi-word ocrx_word: both tokens share the word's bbox
+    s2 = by_text["Stable now"]
+    assert s2["left"] == [100, 100] and s2["right"] == [190, 190]
+    # second page
+    s3 = by_text["Appendix"]
+    assert s3["page"] == [1]
+    # hOCR bookkeeping attrs are not structural signal
+    assert not any(a.startswith(("tokens=", "left="))
+                   for a in (s1["html_attrs"] or []))
+
+
+def test_hocr_mention_bbox_and_visual_features(spark):
+    """Mentions over hOCR sentences carry span bboxes; the visual feature
+    library emits PAGE_/SAME_PAGE/alignment keys; the visual column
+    predicates agree with the bbox math."""
+    from fonduer_spark.candidates_op import extract_candidates
+    from fonduer_spark.data_model_utils import is_horz_aligned, same_page
+    from fonduer_spark.featurize import featurize
+    from fonduer_spark.lingual import SimpleParser
+    from fonduer_spark.matchers import RegexMatchSpan
+    from fonduer_spark.mention_spaces import MentionNgrams
+    from fonduer_spark.mentions_op import (
+        MENTION_COLUMNS, MENTION_SCHEMA, MentionSpec, iter_sentence_mentions,
+        _fast_unigram_regex)
+    from fonduer_spark.parse import ParseConfig, parse_document
+    from fonduer_spark.sources import rewrite_hocr
+
+    html = rewrite_hocr(HOCR_FIXTURE)
+    cfg = ParseConfig(visual="hocr")
+    rows = [r for r in parse_document("u", html, cfg, SimpleParser("."))
+            if r["ctx_type"] == "sentence"]
+    specs = [
+        MentionSpec("part", MentionNgrams(n_min=1, n_max=1),
+                    RegexMatchSpan(rgx=r"PN\d+[A-C]", ignore_case=False)),
+        MentionSpec("temp", MentionNgrams(n_min=1, n_max=1),
+                    RegexMatchSpan(rgx=r"\d+", ignore_case=False)),
+    ]
+    fasts = [_fast_unigram_regex(s) for s in specs]
+    ms = [m for r in rows for m in iter_sentence_mentions(r, specs, fasts)]
+    by_type = {m["mention_type"]: m for m in ms}
+    part, temp = by_type["part"], by_type["temp"]
+    assert (part["page"], part["left"], part["right"]) == (0, 70, 140)
+    assert (temp["page"], temp["left"], temp["right"]) == (0, 60, 90)
+
+    mdf = spark.createDataFrame(
+        [tuple(m[c] for c in MENTION_COLUMNS) for m in ms], MENTION_SCHEMA)
+    cands = extract_candidates(mdf, "pt", "part", "temp")
+    got = cands.select(
+        same_page().alias("sp"), is_horz_aligned().alias("ha")).first()
+    assert got.sp  # both on page 0
+    assert not got.ha  # different lines -> not horizontally aligned
+    keys = {k for r in featurize(
+        cands, libs=("visual", "tabular", "structural")).collect()
+        for k in r.keys}
+    assert "e0_PAGE_[0]" in keys and "e1_PAGE_[0]" in keys
+    assert "SAME_PAGE" in keys
+    assert "HORZ_ALIGNED" not in keys
+    assert "VERT_ALIGNED" in keys  # x-ranges overlap (70-140 vs 60-90)
