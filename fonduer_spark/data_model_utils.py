@@ -258,6 +258,82 @@ def is_vert_aligned_center(_df: DataFrame = None) -> Column:
     )
 
 
+def visual_words(sentences: DataFrame) -> DataFrame:
+    """Exploded (url, word, page, left, top, right, bottom) frame over
+    visually-annotated sentences (hOCR/PDF payloads) — the join source for
+    the visual ngram vocabularies."""
+    sent = (
+        sentences.where(F.col("ctx_type") == "sentence")
+        if "ctx_type" in sentences.columns else sentences
+    )
+    z = F.arrays_zip(
+        F.transform(F.col("words"), lambda w: F.lower(w)).alias("w"),
+        F.col("page").alias("pg"), F.col("left").alias("l"),
+        F.col("top").alias("t"), F.col("right").alias("r"),
+        F.col("bottom").alias("b"),
+    )
+    return (
+        sent.where(F.col("page").isNotNull())
+        .select("url", F.explode(z).alias("z"))
+        .select(
+            "url", F.col("z.w").alias("word"), F.col("z.pg").alias("page"),
+            F.col("z.l").alias("left"), F.col("z.t").alias("top"),
+            F.col("z.r").alias("right"), F.col("z.b").alias("bottom"),
+        )
+        .where(F.col("page") >= 0)
+    )
+
+
+def _with_aligned_ngrams(candidates: DataFrame, sentences: DataFrame,
+                         slot: str, axis: str) -> DataFrame:
+    """Join the words visually aligned with a slot's bbox as
+    ``{slot}horz_ngrams`` / ``{slot}vert_ngrams`` (reference get_horz_ngrams
+    / get_vert_ngrams, visual.py:155-276, with the same 1.5pt-shrink overlap
+    math; includes the span's own words). The join is bounded per
+    (url, page); candidates without visual info keep a null vocabulary."""
+    w = visual_words(sentences)
+    cand_keys = candidates.select(
+        F.col("candidate_sid").alias("_csid"),
+        F.col(f"{slot}url").alias("_u"), F.col(f"{slot}page").alias("_pg"),
+        F.col(f"{slot}left").alias("_l"), F.col(f"{slot}top").alias("_t"),
+        F.col(f"{slot}right").alias("_r"), F.col(f"{slot}bottom").alias("_b"),
+    ).where(F.col("_pg").isNotNull())
+    if axis == "horz":
+        aligned = ~(
+            (F.col("_t") + 1.5 > w.bottom - 1.5)
+            | (w.top + 1.5 > F.col("_b") - 1.5)
+        )
+        out_col = f"{slot}horz_ngrams"
+    else:
+        aligned = ~(
+            (F.col("_l") + 1.5 > w.right - 1.5)
+            | (w.left + 1.5 > F.col("_r") - 1.5)
+        )
+        out_col = f"{slot}vert_ngrams"
+    vocab = (
+        cand_keys.join(
+            w,
+            (F.col("_u") == w.url) & (F.col("_pg") == w.page) & aligned,
+        )
+        .groupBy("_csid")
+        .agg(F.array_distinct(F.collect_list("word")).alias(out_col))
+        .withColumnRenamed("_csid", "candidate_sid")
+    )
+    return candidates.join(vocab, "candidate_sid", "left")
+
+
+def with_horz_ngrams(candidates: DataFrame, sentences: DataFrame,
+                     slot: str = "b_") -> DataFrame:
+    """Words on the same visual line(s) as the slot's bbox."""
+    return _with_aligned_ngrams(candidates, sentences, slot, "horz")
+
+
+def with_vert_ngrams(candidates: DataFrame, sentences: DataFrame,
+                     slot: str = "b_") -> DataFrame:
+    """Words in the same visual column(s) as the slot's bbox."""
+    return _with_aligned_ngrams(candidates, sentences, slot, "vert")
+
+
 # ---------------------------------------------------------------------------
 # 3. row-level python helpers for pandas LFs (reference utils.py:40-84)
 # ---------------------------------------------------------------------------

@@ -457,40 +457,44 @@ def tabular_vocabs(sentences: DataFrame, n_max: int = NGRAM_MAX):
 
 def _join_tabular_vocabs(df: DataFrame, sentences: DataFrame,
                          n_max: int) -> DataFrame:
-    """Left-join the row/col/cell vocabularies onto both candidate slots."""
+    """Left-join the row/col/cell vocabularies onto both candidate slots.
+
+    The three vocabularies are pre-joined into ONE per-cell frame first
+    (cells are orders of magnitude fewer than candidates), so the heavy
+    candidate side shuffles once per slot instead of three times."""
     row_v, col_v, cell_v = tabular_vocabs(sentences, n_max)
+    sent = (
+        sentences.where(F.col("ctx_type") == "sentence")
+        if "ctx_type" in sentences.columns else sentences
+    )
+    cells = (
+        sent.where(F.col("cell_sid").isNotNull())
+        .select("url", "table_sid", "cell_sid", "row_start", "col_start")
+        .distinct()
+    )
+    per_cell = (
+        cells
+        .join(cell_v.withColumnsRenamed({"ngrams": "cell_ngrams"}),
+              ["url", "cell_sid"], "left")
+        .join(row_v.withColumnsRenamed(
+            {"ngrams": "row_ngrams", "head_ngrams": "row_head_ngrams"}),
+            ["url", "table_sid", "row_start"], "left")
+        .join(col_v.withColumnsRenamed(
+            {"ngrams": "col_ngrams", "head_ngrams": "col_head_ngrams"}),
+            ["url", "table_sid", "col_start"], "left")
+        .select("url", "cell_sid", "cell_ngrams", "row_ngrams",
+                "row_head_ngrams", "col_ngrams", "col_head_ngrams")
+    )
+    vocab_cols = ("cell_ngrams", "row_ngrams", "row_head_ngrams",
+                  "col_ngrams", "col_head_ngrams")
     for p in ("a_", "b_"):
-        rv = row_v.select(
-            F.col("url").alias("_vu"), F.col("table_sid").alias("_vt"),
-            F.col("row_start").alias("_vp"),
-            F.col("ngrams").alias(f"{p}row_ngrams"),
-            F.col("head_ngrams").alias(f"{p}row_head_ngrams"),
-        )
-        df = df.join(
-            rv,
-            (df[f"{p}url"] == rv._vu) & (df[f"{p}table_sid"] == rv._vt)
-            & (df[f"{p}row_start"] == rv._vp),
-            "left",
-        ).drop("_vu", "_vt", "_vp")
-        cv = col_v.select(
-            F.col("url").alias("_vu"), F.col("table_sid").alias("_vt"),
-            F.col("col_start").alias("_vp"),
-            F.col("ngrams").alias(f"{p}col_ngrams"),
-            F.col("head_ngrams").alias(f"{p}col_head_ngrams"),
-        )
-        df = df.join(
-            cv,
-            (df[f"{p}url"] == cv._vu) & (df[f"{p}table_sid"] == cv._vt)
-            & (df[f"{p}col_start"] == cv._vp),
-            "left",
-        ).drop("_vu", "_vt", "_vp")
-        ce = cell_v.select(
+        pc = per_cell.select(
             F.col("url").alias("_vu"), F.col("cell_sid").alias("_vc"),
-            F.col("ngrams").alias(f"{p}cell_ngrams"),
+            *[F.col(c).alias(f"{p}{c}") for c in vocab_cols],
         )
         df = df.join(
-            ce,
-            (df[f"{p}url"] == ce._vu) & (df[f"{p}cell_sid"] == ce._vc),
+            pc,
+            (df[f"{p}url"] == pc._vu) & (df[f"{p}cell_sid"] == pc._vc),
             "left",
         ).drop("_vu", "_vc")
     return df

@@ -317,3 +317,50 @@ def test_hocr_mention_bbox_and_visual_features(spark):
     assert "SAME_PAGE" in keys
     assert "HORZ_ALIGNED" not in keys
     assert "VERT_ALIGNED" in keys  # x-ranges overlap (70-140 vs 60-90)
+
+
+def test_visual_ngram_helpers(spark):
+    """with_horz_ngrams/with_vert_ngrams: bbox-aligned word vocabularies
+    joined onto candidates (reference get_horz_ngrams/get_vert_ngrams)."""
+    from fonduer_spark.candidates_op import extract_candidates
+    from fonduer_spark.data_model_utils import with_horz_ngrams, with_vert_ngrams
+    from fonduer_spark.lingual import SimpleParser
+    from fonduer_spark.matchers import RegexMatchSpan
+    from fonduer_spark.mention_spaces import MentionNgrams
+    from fonduer_spark.mentions_op import (
+        MENTION_COLUMNS, MENTION_SCHEMA, MentionSpec, iter_sentence_mentions,
+        _fast_unigram_regex)
+    from fonduer_spark.parse import (
+        CONTEXT_COLUMNS, CONTEXT_SCHEMA, ParseConfig, parse_document)
+    from fonduer_spark.sources import rewrite_hocr
+
+    html = rewrite_hocr(HOCR_FIXTURE)
+    cfg = ParseConfig(visual="hocr")
+    rows = [r for r in parse_document("u", html, cfg, SimpleParser("."))
+            if r["ctx_type"] == "sentence"]
+    specs = [
+        MentionSpec("part", MentionNgrams(n_min=1, n_max=1),
+                    RegexMatchSpan(rgx=r"PN\d+[A-C]", ignore_case=False)),
+        MentionSpec("temp", MentionNgrams(n_min=1, n_max=1),
+                    RegexMatchSpan(rgx=r"\d+", ignore_case=False)),
+    ]
+    fasts = [_fast_unigram_regex(s) for s in specs]
+    ms = [m for r in rows for m in iter_sentence_mentions(r, specs, fasts)]
+    mdf = spark.createDataFrame(
+        [tuple(m[c] for c in MENTION_COLUMNS) for m in ms], MENTION_SCHEMA)
+    sdf = spark.createDataFrame(
+        [tuple(r.get(c) for c in CONTEXT_COLUMNS) for r in rows],
+        CONTEXT_SCHEMA)
+    cands = extract_candidates(mdf, "pt", "part", "temp")
+    # part (PN10A) is on line 1 (y 10..30): horz vocab = its line's words
+    got = with_horz_ngrams(cands, sdf, slot="a_").select("a_horz_ngrams").first()
+    assert set(got.a_horz_ngrams) == {"part", "pn10a"}
+    # temp (85) is on line 2: horz vocab = line 2 words
+    got = with_horz_ngrams(cands, sdf, slot="b_").select("b_horz_ngrams").first()
+    assert set(got.b_horz_ngrams) == {"rated", "85", "stable", "now"}
+    # vert: 85 at x 60..90 overlaps 'part' (10..60)? no (shrunk) — overlaps
+    # the PN10A column? pn10a x 70..140 -> 60+1.5 <= 140-1.5 and
+    # 70+1.5 <= 90-1.5 -> aligned; 'part' 10..60 vs 60..90: 60+1.5 > 60-1.5
+    # -> not aligned
+    got = with_vert_ngrams(cands, sdf, slot="b_").select("b_vert_ngrams").first()
+    assert "pn10a" in got.b_vert_ngrams and "part" not in got.b_vert_ngrams
