@@ -321,7 +321,7 @@ ORDER BY subj, pred, obj
 # bucket pairs -> exact Jaccard verify >= 0.6 -> connected components via a
 # recursive CTE (min reachable label). Deterministic because every hash is
 # md5.
-_KG_ENTITIES_SQL = """
+_KG_ENTITIES_SQL = r"""
 WITH RECURSIVE docs AS (SELECT doc_id AS i FROM documents),
 tabs AS (
   SELECT i, unnest(range(0, 1 + (i % 2) + CASE WHEN i % 50 = 0 THEN 6 ELSE 0 END)) AS t
