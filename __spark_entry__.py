@@ -248,6 +248,75 @@ def q_kg_visual_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING engine path, oracle-checked: web pages written as a
+    parquet drop, readStream -> the same fused parse+mention stage
+    (mapInPandas is streaming-compatible) -> availableNow append sink with
+    checkpointing -> the sunk mentions match the batch oracle exactly
+    (incremental ingest produces identical rows to batch)."""
+    import os
+    import tempfile
+
+    from fonduer_spark.corpus import make_web_pages
+    from fonduer_spark.pipeline import default_mention_specs
+    from fonduer_spark.streaming import (
+        run_stream_to_parquet, stream_mentions, stream_web_pages)
+
+    tmp = tempfile.mkdtemp(prefix="kgstream_")
+    pages_dir = os.path.join(tmp, "pages")
+    out_dir = os.path.join(tmp, "out")
+    cp_dir = os.path.join(tmp, "cp")
+    make_web_pages(spark, sf_dir).write.parquet(pages_dir)
+    stream = stream_web_pages(spark, pages_dir)
+    run_stream_to_parquet(
+        stream_mentions(stream, default_mention_specs()), out_dir, cp_dir)
+    m = spark.read.parquet(out_dir)
+    return (
+        m.where(F.col("mention_type") == "part")
+        .groupBy(F.col("span_text").alias("part"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("part")
+    )
+
+
+def q_kg_nary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-ary (ternary) candidate extraction, oracle-checked: one
+    (part, tmin, tmax) candidate per body row via extract_candidates_nary
+    with a same-row + column-order throttler — the distinct fact tuples
+    match the corpus formulas."""
+    from fonduer_spark.candidates_op import extract_candidates_nary
+
+    mentions = kg_stages(spark, sf_dir)["mentions"]
+
+    def thr(df):
+        same_tab = (
+            F.col("m0_table_sid").isNotNull()
+            & (F.col("m0_table_sid") == F.col("m1_table_sid"))
+            & (F.col("m0_table_sid") == F.col("m2_table_sid"))
+        )
+        def row_olap(a, b):
+            return ~(
+                (F.col(f"{a}_row_start") > F.col(f"{b}_row_end"))
+                | (F.col(f"{b}_row_start") > F.col(f"{a}_row_end"))
+            )
+        return (
+            same_tab & row_olap("m0", "m1") & row_olap("m0", "m2")
+            & (F.col("m1_col_start") < F.col("m2_col_start"))
+        )
+
+    c = extract_candidates_nary(
+        mentions, "part_tmin_tmax", ["part", "temp", "temp"], throttler=thr)
+    return (
+        c.select(
+            F.col("m0_span_text").alias("part"),
+            F.col("m1_span_text").try_cast("int").alias("tmin"),
+            F.col("m2_span_text").try_cast("int").alias("tmax"),
+        )
+        .distinct()
+        .orderBy("part", "tmin", "tmax")
+    )
+
+
 def q_kg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-level P/R/F1 of the pipeline's triples vs the corpus gold —
     the engine's port of the reference's entity_level_f1 evaluation
@@ -396,6 +465,15 @@ SELECT 'https://fixture.test/d' || lpad(CAST(d.i AS VARCHAR), 6, '0') AS url,
        CAST(3 + 2*tc.nt + 2*cc.nc AS BIGINT) AS n
 FROM docs d JOIN tc ON tc.i = d.i JOIN cc ON cc.i = d.i
 ORDER BY url
+"""
+
+_KG_NARY_SQL = _KG_CELLS_CTE + """
+SELECT DISTINCT
+  'PN' || CAST((i*17 + t*5 + r*3) % 900 + 100 AS VARCHAR)
+       || chr(CAST(65 + ((i + r) % 3) AS INTEGER)) AS part,
+  CAST(-(40 + ((i + r) % 30)) AS INTEGER) AS tmin,
+  CAST(85 + ((i*3 + r*7) % 60) AS INTEGER) AS tmax
+FROM cells ORDER BY part, tmin, tmax
 """
 
 _KG_TRIPLES_MIN_SQL = _KG_CELLS_CTE + """
@@ -1087,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_feature_rowcol": q_kg_feature_rowcol,
         "kg_ner_numbers": q_kg_ner_numbers,
         "kg_visual_align": q_kg_visual_align,
+        "kg_stream_mentions": q_kg_stream_mentions,
+        "kg_nary": q_kg_nary,
         "kg_part_mentions": q_kg_part_mentions,
         "kg_candidates_per_doc": q_kg_candidates_per_doc,
         "kg_features": q_kg_features,
@@ -1139,6 +1219,8 @@ def oracle_sql() -> dict[str, str]:
         # visual pipeline recovers exactly the per-row (part, tmin/tmax)
         # pairs -> same count formula as the structural candidate query
         "kg_visual_align": _KG_CANDS_SQL.replace("n_candidates", "n"),
+        "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
+        "kg_nary": _KG_NARY_SQL,
         "kg_entities": _KG_ENTITIES_SQL,
         "kg_part_mentions": _KG_PART_MENTIONS_SQL,
         "kg_candidates_per_doc": _KG_CANDS_SQL,
