@@ -144,3 +144,44 @@ def test_fast_scanner_fallback_paths():
     ]
     for h in cases:
         assert tostring(parse_html(h)) == tostring(parse_html_stdlib(h)), h
+
+
+def test_fast_scanner_equivalence_property():
+    """Property-based equivalence: structured random HTML (nested tags,
+    attrs in all quote styles, entities, comments, void/self-closing
+    elements, tag soup) must produce identical DOMs from the fast scanner
+    and the stdlib parser."""
+    from hypothesis import given, settings, strategies as st
+
+    from fonduer_spark.htmldom import parse_html, parse_html_stdlib, tostring
+
+    tags = st.sampled_from(["div", "p", "b", "table", "tr", "td", "ul",
+                            "li", "span", "h1"])
+    words = st.text(
+        alphabet="abcXYZ019 .,&;", min_size=0, max_size=12).map(
+        lambda s: s.replace("&", "&amp;"))
+    attr = st.sampled_from(
+        ['', ' class="x y"', " id='k'", ' data-v=plain', ' checked',
+         ' title="a &lt; b"'])
+
+    @st.composite
+    def node(draw, depth=0):
+        t = draw(tags)
+        a = draw(attr)
+        if depth >= 2 or draw(st.booleans()):
+            return f"<{t}{a}>{draw(words)}</{t}>"
+        kids = "".join(draw(node(depth + 1)) for _ in range(draw(
+            st.integers(0, 3))))
+        closer = "" if draw(st.booleans()) else f"</{t}>"  # tag soup
+        return f"<{t}{a}>{draw(words)}{kids}{draw(words)}{closer}"
+
+    extras = st.sampled_from(
+        ["", "<!-- c > d -->", "<br/>", "<img src=i.png>", "<!DOCTYPE html>"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(node(), min_size=1, max_size=4), extras)
+    def check(nodes, extra):
+        html = "<html><body>" + extra + "".join(nodes) + "</body></html>"
+        assert tostring(parse_html(html)) == tostring(parse_html_stdlib(html))
+
+    check()
