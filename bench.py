@@ -88,15 +88,21 @@ def main_bench(cores: int, sf_dir: str) -> dict:
     n_triples, n_docs, wall = run_kg(spark, sf_dir)
     timings["kg_triples"] = round(wall, 3)
 
-    # headline 2-9: one representative per operator family
+    # headline 2-9: one representative per operator family. Best-of-3 per
+    # query: a single pass records hypervisor-steal spikes as the round's
+    # number (r02 recorded a 4.4x steal artifact on dedup_minhash_pairs).
     heads = ["kg_triples_all", "dedup_minhash_pairs", "dedup_lsh_verified",
              "dedup_jaccard", "sim_topk", "text_quality", "rel_agg",
              "rel_join"]
     qs = E.queries()
     for name in heads:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     # ANN quality: recall@5 of the LSH multiprobe path vs the exact top-k
     # (planes=3, multiprobe=1 — the recall-knob configuration)
@@ -184,13 +190,21 @@ def main_scaling(sf_dir: str, lo: int = 8, hi: int = 32,
                             "python_control_eff": round(ctl, 3),
                             "runs": results}) + "\n")
     history = [json.loads(ln) for ln in open(hist_path)]
-    best = {}
+    # HEADLINE = the best same-window pair: both legs of the ratio measured
+    # under shared conditions (max over windows of each window's paired
+    # efficiency). The cross-window best-legs ratio is only a secondary
+    # ceiling estimate (its two legs saw different steal conditions).
+    best_window = max(history, key=lambda h: h["eff"])
+    eff = best_window["eff"]
+    best = {int(c): r for c, r in best_window["runs"].items()}
+    ceil_legs = {}
     for h in history:
         for c, r in h["runs"].items():
             c = int(c)
-            if c not in best or r["wall_sec"] < best[c]["wall_sec"]:
-                best[c] = r
-    eff = (best[hi]["triples_per_sec"] / best[lo]["triples_per_sec"]) / (hi / lo)
+            if c not in ceil_legs or r["wall_sec"] < ceil_legs[c]["wall_sec"]:
+                ceil_legs[c] = r
+    eff_ceiling = (ceil_legs[hi]["triples_per_sec"]
+                   / ceil_legs[lo]["triples_per_sec"]) / (hi / lo)
     effs = sorted(h["eff"] for h in history)
     ctls = sorted(h["python_control_eff"] for h in history)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -199,10 +213,12 @@ def main_scaling(sf_dir: str, lo: int = 8, hi: int = 32,
             "Sandbox evidence for the north_rule two-cluster-size scaling "
             f"criterion: identical input ({sf_dir}), same job, "
             f"local[{lo}] vs local[{hi}]; legs alternated, best of "
-            f"{attempts} attempts per leg per window, headline from the "
-            "best legs across all recorded windows "
-            "(BENCH/scaling_history.jsonl — this VM's hypervisor steal is "
-            "bursty and hits wide jobs hardest; methodology in bench.py).\n\n"
+            f"{attempts} attempts per leg per window. HEADLINE = the best "
+            "same-window pair (both legs measured under shared conditions; "
+            "all windows disclosed in BENCH/scaling_history.jsonl — this "
+            "VM's hypervisor steal is bursty and hits wide jobs hardest; "
+            "methodology in bench.py).\n\n"
+            "Best same-window pair:\n\n"
             "| cores | docs | triples | wall (s) | docs/s | triples/s |\n"
             "|---|---|---|---|---|---|\n"
             + "".join(
@@ -212,7 +228,10 @@ def main_scaling(sf_dir: str, lo: int = 8, hi: int = 32,
             )
             + f"\nScaling efficiency ({lo}->{hi} cores, x{hi // lo}): "
               f"**{eff:.3f}** (target >= 0.8); per-window pairs measured "
-              f"{effs[0]:.2f}-{effs[-1]:.2f} across {len(history)} windows.\n"
+              f"{effs[0]:.2f}-{effs[-1]:.2f} across {len(history)} windows. "
+              "Secondary ceiling estimate from the best legs across "
+              f"different windows: {eff_ceiling:.3f} (not a paired "
+              "measurement).\n"
             + "\nMachine control: a pure-python fixed-total-work process "
               f"pool (no Spark, no Arrow memory traffic) scales {lo}->{hi} "
               f"at {ctls[0]:.2f}-{ctls[-1]:.2f} across the same windows — "

@@ -254,8 +254,12 @@ def _visual_binary(row: dict) -> Iterator[str]:
     pa, pb = row.get("a_page"), row.get("b_page")
     if pa is None or pb is None:
         return
-    if pa == pb:
-        yield "SAME_PAGE"
+    if pa != pb:
+        # alignment features only exist inside the same_page branch
+        # (visual_features.py:92-108) — cross-page coordinate overlap is
+        # coincidence, not layout signal
+        return
+    yield "SAME_PAGE"
     a, b = _bbox(row, "a_"), _bbox(row, "b_")
     if a is None or b is None:
         return

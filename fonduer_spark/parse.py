@@ -446,8 +446,12 @@ def parse_document(
         html_tag = context_node.tag
         # bookkeeping + hOCR-accumulated visual attrs are not structural
         # signal (the reference clears them too, hocr_visual_parser.py:75-90)
-        skip = {"visited", "left", "top", "right", "bottom", "ppageno",
-                "tokens", "x_wconf", "fonduer"}
+        # — but ONLY for hOCR-rewritten documents; ordinary HTML may
+        # legitimately carry attrs named left/top/tokens/... and keeps them
+        skip = {"visited"}
+        if cfg.visual == "hocr" or "fonduer" in context_node.attrib:
+            skip |= {"left", "top", "right", "bottom", "ppageno",
+                     "tokens", "x_wconf", "fonduer"}
         html_attrs = [
             f"{k}={v}" for k, v in context_node.attrib.items() if k not in skip
         ]

@@ -65,10 +65,28 @@ def csv_docs(
     # content-derived fallback id: md5 over the concatenated row keeps the
     # url reproducible across runs/partitionings (monotonically_increasing_id
     # is partition-layout-dependent and would destabilize stable_ids and
-    # checkpoint-resume signatures)
-    name = F.col(name_col) if name_col else F.md5(
-        F.concat_ws("\x1f", *[F.coalesce(F.col(c), F.lit("")) for c in cols])
-    )
+    # checkpoint-resume signatures). Duplicate rows are common in real CSVs
+    # and would collide on the content hash alone, so a per-content
+    # row_number disambiguates them ("<md5>#<n>" for the 2nd+ copy) —
+    # deterministic given the content multiset, and a narrow shuffle keyed
+    # on the (uniform) hash.
+    if name_col:
+        name = F.col(name_col)
+    else:
+        from pyspark.sql import Window
+
+        content_hash = F.md5(
+            F.concat_ws("\x1f", *[F.coalesce(F.col(c), F.lit(""))
+                                  for c in cols])
+        )
+        df = df.withColumn("_chash", content_hash).withColumn(
+            "_cdup",
+            F.row_number().over(
+                Window.partitionBy("_chash").orderBy(F.lit(1))) - 1,
+        )
+        name = F.when(
+            F.col("_cdup") == 0, F.col("_chash")
+        ).otherwise(F.concat_ws("#", "_chash", "_cdup"))
     body = F.concat_ws(
         "", *[F.concat(F.lit("<p>"), F.coalesce(F.col(c), F.lit("")),
                        F.lit("</p>")) for c in cols if c != name_col]
