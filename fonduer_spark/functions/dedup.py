@@ -260,8 +260,13 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force baseline; swap the
-    self-join for similarity.lsh_bucketed_ann buckets at scale)."""
+    """Embedding-cosine near-duplicate pairs — BRUTE-FORCE KERNEL.
+
+    O(N^2) cartesian by construction: the bounded ground-truth kernel for
+    tests and recall floors only (the exact analogue of
+    ngram_jaccard_pairs vs the LSH path). The scale path — and the one the
+    driver query binds — is ``embedding_near_dup_pairs_lsh`` below.
+    """
     from .similarity import cosine
 
     a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
@@ -269,6 +274,63 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .where(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 4,
+) -> DataFrame:
+    """THE embedding near-dup operator for scale: banded sign-LSH candidate
+    pairs + exact cosine verification WITHIN buckets — never all-pairs
+    (the embedding-space twin of lsh_verified_pairs).
+
+    ``n_tables`` independent hash tables of ``n_planes`` md5-Rademacher
+    hyperplanes each (similarity.rademacher_planes): a pair collides when it
+    shares a bucket in ANY table, so recall = 1-(1-p^k)^L with
+    p = 1-θ/π — the standard banded-LSH recall knob. Candidate work is
+    O(sum bucket^2) per table, bucketed like MinHash-LSH bands; AQE skew
+    splitting bounds a hot bucket. Because the planes are md5-derived and
+    the dots are exact ±1 sign-flips of doubles, the whole operator —
+    buckets, pairs, cosines — is reproducible in DuckDB SQL.
+
+    Recall < 1 by construction; ``embedding_near_dup_pairs`` (cartesian)
+    stays as the bounded ground-truth kernel.
+    """
+    from .similarity import cosine, md5_bucket
+
+    keyed = emb.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        F.explode(F.array(*[
+            F.concat_ws(
+                "|", F.lit(str(t)),
+                md5_bucket(F.col(vec_col), dim, n_planes, prefix=f"t{t}p"),
+            )
+            for t in range(n_tables)
+        ])).alias("bk"),
+    )
+    a = keyed.select(F.col("doc").alias("a"), "bk")
+    b = keyed.select(F.col("doc").alias("b"), "bk")
+    pairs = (
+        a.join(b, "bk")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")

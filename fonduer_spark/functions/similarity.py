@@ -75,6 +75,49 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim).astype("float32")
 
 
+def rademacher_planes(dim: int, n_planes: int,
+                      prefix: str = "plane") -> List[List[float]]:
+    """±1 (Rademacher) random-projection hyperplanes derived from md5 parity:
+    component (j, d) is +1 iff the first hex digit of md5("{prefix}{j}_{d}")
+    is < '8'. Sign-random-projection with symmetric ±1 components is a
+    standard LSH family for cosine (Achlioptas-style sparse/sign
+    projections); deriving the signs from md5 makes the bucket assignment
+    reproducible in ANY engine with md5 — the whole ANN path becomes
+    oracle-checkable in SQL, unlike seeded-numpy Gaussian planes."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(
+                f"{prefix}{j}_{d}".encode()).hexdigest()[0] < "8" else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def md5_bucket(vec_col: Column, dim: int, n_planes: int,
+               prefix: str = "plane") -> Column:
+    """Sign-pattern bucket id under the md5-Rademacher planes, as a pure
+    JVM column expression (whole-stage codegen; no Python, no Arrow):
+    bit j = (dot(v, plane_j) > 0). ±1 multiplication is an exact sign flip
+    in IEEE754, so the dot is an order-dependent sum of exact doubles —
+    Spark's sequential fold and DuckDB's list_dot_product agree to the last
+    ulp except for the measure-zero case dot == 0 boundary."""
+    v = vec_col.cast("array<double>")
+    planes = rademacher_planes(dim, n_planes, prefix)
+    bucket = F.lit(0)
+    for j, p in enumerate(planes):
+        lit = F.array(*[F.lit(x) for x in p])
+        dot_j = F.aggregate(
+            F.zip_with(v, lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
 def lsh_bucket_ids(
     emb: DataFrame,
     dim: int,
@@ -82,8 +125,20 @@ def lsh_bucket_ids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    family: str = "gaussian",
 ) -> DataFrame:
-    """Assign each vector its random-hyperplane sign-bucket (one Arrow pass)."""
+    """Assign each vector its random-hyperplane sign-bucket.
+
+    ``family``:
+    - "gaussian": seeded-numpy Gaussian planes, one Arrow pass (the classic
+      Charikar construction; not SQL-reproducible);
+    - "md5": md5-Rademacher ±1 planes as a pure JVM column expression —
+      whole-stage codegen, zero Python, and the bucket assignment is
+      reproducible in DuckDB SQL (the oracle-checkable family).
+    """
+    if family == "md5":
+        return emb.withColumn(
+            "bucket", md5_bucket(F.col(vec_col), dim, n_planes))
     planes = _hyperplanes(dim, n_planes, seed)
 
     @F.pandas_udf(T.IntegerType())
@@ -106,6 +161,7 @@ def lsh_bucketed_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 0,
+    family: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: probe the query's own sign bucket, plus — with
     ``multiprobe=1`` — every bucket at Hamming distance 1 (one hyperplane
@@ -116,7 +172,8 @@ def lsh_bucketed_ann(
     Same output shape as cosine_topk; recall < 1 by construction (the scale
     path). Bucket assignment is deterministic given the seed.
     """
-    bucketed = lsh_bucket_ids(emb, dim, n_planes, seed, id_col, vec_col)
+    bucketed = lsh_bucket_ids(emb, dim, n_planes, seed, id_col, vec_col,
+                              family=family)
     q = bucketed.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.col("bucket").alias("qb"),

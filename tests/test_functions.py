@@ -214,3 +214,22 @@ def test_repetition_stats(spark):
     assert abs(out[1].top_bigram_ratio - 1 / 3) < 1e-6
     assert abs(out[2].top_bigram_ratio - 0.5) < 1e-6
     assert out[3].n_toks == 0 and out[3].dup_token_ratio == 0.0
+
+
+def test_embcos_lsh_subset_of_brute_with_recall(spark, emb):
+    """The banded-LSH near-dup pairs are a subset of the cartesian kernel's
+    ground truth (same cosines), with usable recall at near-dup thresholds."""
+    from fonduer_spark.functions.dedup import (
+        embedding_near_dup_pairs, embedding_near_dup_pairs_lsh)
+
+    small = emb.where(F.col("vec_id") < 300)
+    brute = {(r.a, r.b): r.cos
+             for r in embedding_near_dup_pairs(small, threshold=0.3).collect()}
+    lsh = {(r.a, r.b): r.cos
+           for r in embedding_near_dup_pairs_lsh(
+               small, dim=64, threshold=0.3, n_planes=4, n_tables=4
+           ).collect()}
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert brute[k] == v  # identical rounded cosines
+    assert len(lsh) >= 0.3 * max(1, len(brute))  # banded-LSH recall floor
