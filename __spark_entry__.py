@@ -90,12 +90,42 @@ def q_kg_candidates_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: sparse feature vectors over the pipeline's candidates
+    """Featurization census, oracle-checked (was rows-only): the FULL
+    feature bag (textual + tabular + structural libraries over sentences
+    with the aligned/head vocabularies joined in) exploded to keys and
+    counted per (url, slot_family). The DuckDB oracle reconstructs every
+    count from the corpus formulas — e.g. a part slot emits exactly
+    8 + n_rows + 5*footer tabular keys (ROW/COL_NUM + CELL + 3 ROW_WORDS +
+    column vocabulary + COL_HEAD), a temp slot 13 + n_rows (+1 for the
+    footer 'ok' cell in the max column) — so a window off-by-one, a
+    dropped vocabulary join, or a broken dedup shifts a count and fails
+    the hash."""
     from fonduer_spark.featurize import featurize
 
     st = kg_stages(spark, sf_dir)
-    return featurize(st["candidates"]).select(
-        "candidate_sid", F.size("keys").cast("long").alias("n_features"))
+    feats = featurize(st["candidates"], st["sentences"])
+    key = F.col("key")
+    stripped = F.regexp_replace(key, "^e[01]_", "")
+    slot = F.when(key.startswith("e0_"), "e0_") \
+        .when(key.startswith("e1_"), "e1_").otherwise("")
+    family = (
+        F.when(stripped.rlike(
+            "^(CONTAINS_|LEFT_|RIGHT_|STARTS_WITH|LENGTH_)"), "textual")
+        .when(stripped.rlike("^(W_|WORD_SEQ|LEMMA_SEQ|POS_SEQ|DEP_)"),
+              "lingual")
+        .when(stripped.rlike("^(ROW_|COL_|CELL_)"), "tabular")
+        .when(stripped.rlike(
+            "^(TAG_|PARENT_TAG|ANCESTOR_|PREV_SIB|NEXT_SIB|NODE_POS"
+            "|FIRST_NODE|LAST_NODE|HTML_ATTR)"), "structural")
+        .otherwise("rel")
+    )
+    return (
+        feats.select("url", F.explode("keys").alias("key"))
+        .select("url", F.concat(slot, family).alias("family"))
+        .groupBy("url", "family")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("url", "family")
+    )
 
 
 def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,11 +575,17 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force kernel, bounded to
-    vec_id < 1000 like dedup_jaccard; the scale path is LSH-bucketed —
-    sim_ann_lsh buckets). JVM zip_with/aggregate dot products."""
+    """Embedding-cosine near-dup pairs via banded sign-LSH + in-bucket
+    cosine verify (never all-pairs; the 100-TB shape, mirroring
+    dedup_lsh_verified). md5-Rademacher hyperplanes make buckets, pairs and
+    cosines all reproducible in the DuckDB oracle. The cartesian
+    embedding_near_dup_pairs stays as the bounded ground-truth kernel
+    (tests only). Recall < 1 by construction: 1-(1-p^k)^L, k=4 planes,
+    L=4 tables."""
     emb = _emb(spark, sf_dir).where(F.col("vec_id") < 1000)
-    return dd.embedding_near_dup_pairs(emb, threshold=0.4).select(
+    return dd.embedding_near_dup_pairs_lsh(
+        emb, dim=64, threshold=0.4, n_planes=4, n_tables=4
+    ).select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
         "cos",
@@ -641,19 +677,46 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jaccard
 FROM v WHERE jaccard >= 0.1 ORDER BY a, b
 """
 
-_DEDUP_EMBCOS_SQL = """
+def _duck_list(vals) -> str:
+    return "[" + ", ".join(str(v) for v in vals) + "]"
+
+
+def _duck_bucket(n_planes: int, prefix: str, dim: int = 64,
+                 vec: str = "v") -> str:
+    """DuckDB expression for the md5-Rademacher sign bucket — the exact
+    twin of similarity.md5_bucket (same planes, same ±1 exact-sign-flip
+    dot products)."""
+    from fonduer_spark.functions.similarity import rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes, prefix)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_duck_list(p)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+
+
+_EMB_LSH_BAND_KEYS = ", ".join(
+    f"'{t}' || '|' || CAST({_duck_bucket(4, f't{t}p')} AS VARCHAR)"
+    for t in range(4)
+)
+_DEDUP_EMBCOS_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE vec_id < 1000)
-SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
-       round(list_dot_product(x.v, y.v) /
-             (sqrt(list_dot_product(x.v, x.v)) *
-              sqrt(list_dot_product(y.v, y.v))), 6) AS cos
-FROM e x, e y
-WHERE x.vec_id < y.vec_id
-  AND round(list_dot_product(x.v, y.v) /
-            (sqrt(list_dot_product(x.v, x.v)) *
-             sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4
-ORDER BY a, b
+           WHERE vec_id < 1000),
+keyed AS (SELECT vec_id, unnest([{_EMB_LSH_BAND_KEYS}]) AS bk FROM e),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM keyed x JOIN keyed y USING (bk) WHERE x.vec_id < y.vec_id
+),
+v AS (
+  SELECT a, b,
+    round(list_dot_product(ea.v, eb.v) /
+          (sqrt(list_dot_product(ea.v, ea.v)) *
+           sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+  FROM pairs JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, cos
+FROM v WHERE cos >= 0.4 ORDER BY a, b
 """
 
 _DEDUP_JACCARD_SQL = f"""
@@ -838,8 +901,20 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: numpy hyperplanes are not SQL-expressible
-    return sim.lsh_bucketed_ann(_emb(spark, sf_dir), _QUERY_IDS, dim=64, k=5)
+    """LSH-bucketed ANN with the md5-Rademacher plane family — the bucket
+    assignment, the own-bucket probe, the cosine scores and the top-k ranks
+    are ALL reproduced by the DuckDB oracle (was rows-only with numpy
+    Gaussian planes). Approximate by construction (recall < 1): a neighbor
+    outside the query's sign bucket is invisible, identically in both
+    engines."""
+    return sim.lsh_bucketed_ann(
+        _emb(spark, sf_dir), _QUERY_IDS, dim=64, k=5, family="md5"
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 _SIM_TOPK_SQL = f"""
@@ -853,6 +928,29 @@ scored AS (
                (sqrt(list_dot_product(q.qv, q.qv)) *
                 sqrt(list_dot_product(c.cv, c.cv))), 6) AS score
   FROM q, c WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+_SIM_ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_duck_bucket(6, 'plane')} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, c.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(c.v, c.v))), 6) AS score
+  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1238,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _BPE_TOKENS_SQL,
         "text_repetition": _REPETITION_SQL,
         "sim_topk": _SIM_TOPK_SQL,
+        "sim_ann_lsh": _SIM_ANN_LSH_SQL,
         "mm_meta": _MM_META_SQL,
         "mm_features": _MM_FEATURES_SQL,
         "rel_agg": _REL_AGG_SQL,
