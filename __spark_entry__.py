@@ -13,11 +13,13 @@ queries()/oracle_sql() -> one entry per implemented operator family:
   - rel_*       : classic relational operators (SURVEY.md §2.10 checklist):
                   scan/filter/agg/join/window/set-op/sort-limit.
 
-Non-SQL-expressible ops (LSH-ANN with numpy hyperplanes, SimHash bit voting,
-per-candidate sparse feature vectors) intentionally omit the oracle -> the
-driver records the weaker rows-only check. Everything md5-based (MinHash
-signatures, band keys, LSH pairs, entity canonicalization incl. connected
-components via a recursive CTE) IS oracle-checked.
+EVERY query carries an oracle (zero rows-only entries): everything md5-based
+is replicated exactly in SQL — MinHash signatures/band keys/LSH pairs,
+SimHash bit voting (hex-nibble integer arithmetic), embedding LSH buckets
+(md5-Rademacher ±1 hyperplanes, exact sign-flip dot products), entity
+canonicalization incl. connected components via a recursive CTE — and the
+featurization queries are per-family key censuses whose counts the oracle
+rebuilds from the corpus formulas.
 """
 
 from __future__ import annotations
@@ -104,10 +106,16 @@ def q_kg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = kg_stages(spark, sf_dir)
     feats = featurize(st["candidates"], st["sentences"])
+    return _family_census(feats)
+
+
+def _family_census(feats: DataFrame) -> DataFrame:
+    """Explode feature keys -> (url, slot_family, n) census. Slot = the
+    e{i}_ prefix ('' for relation-level keys); family = the feature-library
+    family the key belongs to, classified by name prefix."""
     key = F.col("key")
-    stripped = F.regexp_replace(key, "^e[01]_", "")
-    slot = F.when(key.startswith("e0_"), "e0_") \
-        .when(key.startswith("e1_"), "e1_").otherwise("")
+    stripped = F.regexp_replace(key, r"^e\d+_", "")
+    slot = F.regexp_extract(key, r"^(e\d+_)", 1)
     family = (
         F.when(stripped.rlike(
             "^(CONTAINS_|LEFT_|RIGHT_|STARTS_WITH|LENGTH_)"), "textual")
@@ -117,6 +125,9 @@ def q_kg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(stripped.rlike(
             "^(TAG_|PARENT_TAG|ANCESTOR_|PREV_SIB|NEXT_SIB|NODE_POS"
             "|FIRST_NODE|LAST_NODE|HTML_ATTR)"), "structural")
+        .when(stripped.rlike(
+            "^(ALIGNED_|PAGE_|SAME_PAGE|HORZ_ALIGNED|VERT_ALIGNED)"),
+            "visual")
         .otherwise("rel")
     )
     return (
@@ -126,6 +137,42 @@ def q_kg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("url", "family")
     )
+
+
+def q_kg_nary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-ary featurization census, oracle-checked: the ternary
+    (part, tmin, tmax) candidates of kg_nary featurized end-to-end — slot
+    prefixes e0_/e1_/e2_, relation-level features over all three slots —
+    and counted per (url, slot_family); every count reconstructed from the
+    corpus formulas (mirrors reference multinary feature extraction,
+    tests/features/test_features.py:239)."""
+    from fonduer_spark.candidates_op import extract_candidates_nary
+    from fonduer_spark.featurize import featurize
+
+    st = kg_stages(spark, sf_dir)
+
+    def thr(df):
+        same_tab = (
+            F.col("m0_table_sid").isNotNull()
+            & (F.col("m0_table_sid") == F.col("m1_table_sid"))
+            & (F.col("m0_table_sid") == F.col("m2_table_sid"))
+        )
+
+        def row_olap(a, b):
+            return ~(
+                (F.col(f"{a}_row_start") > F.col(f"{b}_row_end"))
+                | (F.col(f"{b}_row_start") > F.col(f"{a}_row_end"))
+            )
+
+        return (
+            same_tab & row_olap("m0", "m1") & row_olap("m0", "m2")
+            & (F.col("m1_col_start") < F.col("m2_col_start"))
+        )
+
+    cands = extract_candidates_nary(
+        st["mentions"], "part_tmin_tmax", ["part", "temp", "temp"],
+        throttler=thr)
+    return _family_census(featurize(cands, st["sentences"]))
 
 
 def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +394,32 @@ def q_kg_nary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nullable candidate slots, oracle-checked (reference candidate
+    nullables, candidate.py:100-102 + candidates.py:268): part_temp with a
+    nullable temp slot — every part also pairs with None. With the
+    same-row throttler OR'd with the null arm, each body row yields its 2
+    (part, temp) pairs plus 1 (part, NULL) candidate -> 3 per row."""
+    from fonduer_spark.candidates_op import extract_candidates, same_row
+
+    mentions = kg_stages(spark, sf_dir)["mentions"]
+    cands = extract_candidates(
+        mentions, "part_temp_opt", "part", "temp",
+        throttler=lambda df: F.col("b_stable_id").isNull() | same_row(),
+        throttler_kind="column",
+        nullables=(False, True),
+    )
+    return (
+        cands.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count(F.when(F.col("b_stable_id").isNull(), 1))
+            .cast("long").alias("n_null_slot"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_kg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-level P/R/F1 of the pipeline's triples vs the corpus gold —
     the engine's port of the reference's entity_level_f1 evaluation
@@ -390,9 +463,108 @@ SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
 FROM cells GROUP BY i ORDER BY url
 """
 
+# kg_features oracle: per-(url, slot_family) feature-key counts rebuilt from
+# the corpus formulas. Derivation (verified against the semantic model of
+# featurize.py, not fitted): each body row r of table t yields 2 candidates
+# (part,tmin) and (part,tmax); per candidate
+#   e0_textual    = 3   (CONTAINS + STARTS_WITH_CAPITAL + LENGTH)
+#   e0_tabular    = 8 + n_rows + 5*footer
+#                   (ROW/COL_NUM 2, CELL 1, ROW_WORDS 3 {part,tmin,tmax},
+#                    COL_WORDS 1 header 'part' + n_rows parts + 5 footer
+#                    ngrams {all,values,nominal,all values,values nominal},
+#                    COL_HEAD 1; ROW_HEAD gated off: the part IS the row head)
+#   e0_structural = 8   (TAG, PARENT, 4 ANCESTOR, FIRST_NODE, NEXT_SIB)
+#   e1_textual    = 2   (CONTAINS_[_NUMBER] + LENGTH; digits not capital)
+#   e1_tabular    = 13 + n_rows (+1 for the footer 'ok' cell, col 2 only)
+#                   (2 + CELL 1 + ROW 3 + COL 3-header-ngrams + n_rows temps
+#                    + ROW_HEAD 1 + COL_HEAD 3)
+#   e1_structural = 9   (TAG, PARENT, 4 ANCESTOR, PREV_SIB, NODE_POS,
+#                        NEXT_SIB | LAST_NODE)
+#   rel           = 6   (SAME_TABLE + ROW/COL_DIFF + MANHATTAN +
+#                        COMMON_ANCESTOR + LOWEST_ANCESTOR_DEPTH)
+# All counts are exact because every vocabulary member is distinct by
+# construction (part codes/temps distinct per axis; headers non-numeric).
+_KG_FEATURES_SQL = _KG_CELLS_CTE + """
+, kf AS (
+  SELECT i, t, r, 3 + ((i + t) % 3) AS nr,
+         CASE WHEN (i + t) % 5 = 0 THEN 1 ELSE 0 END AS f
+  FROM cells
+),
+agg AS (
+  SELECT i,
+    SUM(6) AS e0_textual,
+    SUM(2 * (8 + nr + 5 * f)) AS e0_tabular,
+    SUM(16) AS e0_structural,
+    SUM(4) AS e1_textual,
+    SUM(26 + 2 * nr + f) AS e1_tabular,
+    SUM(18) AS e1_structural,
+    SUM(12) AS rel
+  FROM kf GROUP BY i
+)
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       fam AS family, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT i, 'e0_textual' AS fam, e0_textual AS n FROM agg
+  UNION ALL SELECT i, 'e0_tabular', e0_tabular FROM agg
+  UNION ALL SELECT i, 'e0_structural', e0_structural FROM agg
+  UNION ALL SELECT i, 'e1_textual', e1_textual FROM agg
+  UNION ALL SELECT i, 'e1_tabular', e1_tabular FROM agg
+  UNION ALL SELECT i, 'e1_structural', e1_structural FROM agg
+  UNION ALL SELECT i, 'rel', rel FROM agg
+)
+ORDER BY url, family
+"""
+
+# kg_nary_features oracle: one ternary (part, tmin, tmax) candidate per body
+# row; per-slot counts as in _KG_FEATURES_SQL (part = e0, tmin = e1 col 1,
+# tmax = e2 col 2), relation-level = the same 6 keys over all three slots.
+_KG_NARY_FEATURES_SQL = _KG_CELLS_CTE + """
+, kf AS (
+  SELECT i, t, r, 3 + ((i + t) % 3) AS nr,
+         CASE WHEN (i + t) % 5 = 0 THEN 1 ELSE 0 END AS f
+  FROM cells
+),
+agg AS (
+  SELECT i,
+    SUM(3) AS e0_textual,
+    SUM(8 + nr + 5 * f) AS e0_tabular,
+    SUM(8) AS e0_structural,
+    SUM(2) AS e1_textual,
+    SUM(13 + nr) AS e1_tabular,
+    SUM(9) AS e1_structural,
+    SUM(2) AS e2_textual,
+    SUM(13 + nr + f) AS e2_tabular,
+    SUM(9) AS e2_structural,
+    SUM(6) AS rel
+  FROM kf GROUP BY i
+)
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       fam AS family, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT i, 'e0_textual' AS fam, e0_textual AS n FROM agg
+  UNION ALL SELECT i, 'e0_tabular', e0_tabular FROM agg
+  UNION ALL SELECT i, 'e0_structural', e0_structural FROM agg
+  UNION ALL SELECT i, 'e1_textual', e1_textual FROM agg
+  UNION ALL SELECT i, 'e1_tabular', e1_tabular FROM agg
+  UNION ALL SELECT i, 'e1_structural', e1_structural FROM agg
+  UNION ALL SELECT i, 'e2_textual', e2_textual FROM agg
+  UNION ALL SELECT i, 'e2_tabular', e2_tabular FROM agg
+  UNION ALL SELECT i, 'e2_structural', e2_structural FROM agg
+  UNION ALL SELECT i, 'rel', rel FROM agg
+)
+ORDER BY url, family
+"""
+
 _KG_FEATURE_ROWCOL_SQL = _KG_CELLS_CTE + """
 SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
        CAST(count(*) AS BIGINT) AS n
+FROM cells GROUP BY i ORDER BY url
+"""
+
+_KG_NULLABLE_SQL = _KG_CELLS_CTE + """
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       CAST(3 * count(*) AS BIGINT) AS n_candidates,
+       CAST(count(*) AS BIGINT) AS n_null_slot
 FROM cells GROUP BY i ORDER BY url
 """
 
@@ -593,11 +765,53 @@ def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: 64-bit SimHash (bit voting in a pandas UDF)
+    """64-bit SimHash, oracle-checked (was rows-only): the DuckDB oracle
+    reproduces the numpy bit voting with pure integer arithmetic — token
+    hash = the big-endian first 8 bytes of md5(token) via hex-nibble
+    decomposition, per-bit count-weighted ±1 votes, and the signed-64
+    wraparound of the final bit pattern."""
     return dd.simhash(_docs(spark, sf_dir))
 
 
 _DD_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+# dedup_simhash oracle: bit-exact SimHash in SQL. Bit j of a token's 64-bit
+# hash (big-endian first 8 md5 bytes) lives in hex nibble 16 - j//4
+# (1-indexed from the left) at in-nibble position j%4; votes are
+# count-weighted ±1 sums per bit; the final pattern wraps to signed 64-bit.
+_POW2 = ", ".join(f"({j}, {1 << j})" for j in range(64))
+_DEDUP_SIMHASH_SQL = f"""
+WITH pow2(j, p) AS (VALUES {_POW2}),
+t AS (
+  SELECT doc_id, unnest({_DD_TOKS}) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c, md5(tok) AS h
+  FROM t GROUP BY doc_id, tok
+),
+votes AS (
+  SELECT doc_id, j,
+    SUM(c * (2 * ((strpos('0123456789abcdef',
+                          substring(h, CAST(16 - j // 4 AS INTEGER), 1))
+                   - 1) // CAST(2 ** (j % 4) AS INTEGER) % 2) - 1)) AS vote,
+    any_value(p) AS p
+  FROM tc, pow2 GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN CAST(p AS HUGEINT) ELSE 0 END) AS u
+  FROM votes GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN u >= 9223372036854775808
+                 THEN u - 18446744073709551616 ELSE u END AS BIGINT)
+         AS simhash
+FROM sh
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 0 FROM documents WHERE length(trim(text)) = 0
+ORDER BY doc_id
+"""
 _DD_SHINGLES2 = f"""
 CASE WHEN len({_DD_TOKS}) >= 2 THEN
   list_transform(range(0, len({_DD_TOKS}) - 1),
@@ -1267,7 +1481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nary": q_kg_nary,
         "kg_part_mentions": q_kg_part_mentions,
         "kg_candidates_per_doc": q_kg_candidates_per_doc,
+        "kg_nullable": q_kg_nullable,
         "kg_features": q_kg_features,
+        "kg_nary_features": q_kg_nary_features,
         "kg_entities": q_kg_entities,
         "kg_quality": q_kg_quality,
         # dedup family
@@ -1313,6 +1529,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_headerlf": gold_triples_sql(),
         "kg_triples_all": _KG_TRIPLES_ALL_SQL,
         "kg_feature_rowcol": _KG_FEATURE_ROWCOL_SQL,
+        "kg_features": _KG_FEATURES_SQL,
+        "kg_nary_features": _KG_NARY_FEATURES_SQL,
         "kg_ner_numbers": _KG_NER_NUMBERS_SQL,
         # visual pipeline recovers exactly the per-row (part, tmin/tmax)
         # pairs -> same count formula as the structural candidate query
@@ -1322,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": _KG_ENTITIES_SQL,
         "kg_part_mentions": _KG_PART_MENTIONS_SQL,
         "kg_candidates_per_doc": _KG_CANDS_SQL,
+        "kg_nullable": _KG_NULLABLE_SQL,
         "kg_quality": ("SELECT 1.0 AS precision, 1.0 AS recall, 1.0 AS f1"),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SIG_SQL,
@@ -1329,6 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": _DEDUP_LSH_VERIFIED_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embcos": _DEDUP_EMBCOS_SQL,
+        "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "text_token_count": _TOKEN_COUNT_SQL,
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _LANG_SQL,

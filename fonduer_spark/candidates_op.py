@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, Optional, Union
+from typing import Callable, Iterator, Optional, Tuple, Union
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -44,6 +44,32 @@ def _with_mention_idx(df: DataFrame) -> DataFrame:
     return df.withColumn("mention_idx", F.row_number().over(w) - F.lit(1))
 
 
+def _null_slot_rows(mentions: DataFrame, typed: DataFrame, prefix: str,
+                    need_idx: bool) -> DataFrame:
+    """One all-null slot row per document (url), the DataFrame analogue of
+    the reference appending ``[None]`` to a nullable slot's mention list
+    (candidate.py:77-136, candidates.py:263-274): every document's product
+    gains the null option for that slot. The null 'mention' enumerates
+    LAST in document order, so its mention_idx is the per-doc count of
+    that type's mentions (enumerate() index of the appended None)."""
+    types = dict(zip(mentions.schema.names,
+                     [f.dataType for f in mentions.schema.fields]))
+    urls = mentions.select("url").distinct()
+    cols = [
+        (F.col("url") if c == "url"
+         else F.lit(None).cast(types[c])).alias(f"{prefix}{c}")
+        for c in MENTION_COLUMNS
+    ]
+    if not need_idx:
+        return urls.select(cols)
+    counts = typed.groupBy("url").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        urls.join(counts, "url", "left")
+        .select(*cols, F.coalesce(F.col("_n"), F.lit(0))
+                .cast("int").alias(f"{prefix}mention_idx"))
+    )
+
+
 def extract_candidates(
     mentions: DataFrame,
     candidate_type: str,
@@ -56,11 +82,23 @@ def extract_candidates(
     symmetric_relations: bool = True,
     split: int = 0,
     salt_buckets: int = 0,
+    nullables: Tuple[bool, bool] = (False, False),
 ) -> DataFrame:
     """Binary candidate extraction as a document-local join.
 
     Defaults mirror the reference CandidateExtractor
     (candidates.py:62-71: self=False, nested=False, symmetric=True).
+
+    ``nullables``: per-slot, as in the reference candidate_subclass
+    (candidate.py:100-102, tested at tests/candidates/test_candidates.py:
+    547): a nullable slot's per-document mention list gains a None entry,
+    so every candidate tuple may carry a null in that slot. Filter
+    semantics with nulls mirror candidates.py:292-306: the self check is
+    null-safe equality (so the all-null tuple is dropped, like the
+    reference's ``a == b`` on two Nones), the nested check is skipped when
+    either side is null, and the null slot sorts last for the symmetric
+    check. NOTE: column throttlers see null slot columns — a throttler
+    that should keep null-slot candidates must OR in an isNull() arm.
     """
     a = mentions.where(F.col("mention_type") == type_a)
     b = mentions.where(F.col("mention_type") == type_b)
@@ -77,6 +115,10 @@ def extract_candidates(
 
     ap = prefix_with_idx(a, "a_")
     bp = prefix_with_idx(b, "b_")
+    if nullables[0]:
+        ap = ap.unionByName(_null_slot_rows(mentions, a, "a_", need_idx))
+    if nullables[1]:
+        bp = bp.unionByName(_null_slot_rows(mentions, b, "b_", need_idx))
 
     if salt_buckets > 1:
         # explicit skew salt: replicate one side across buckets
@@ -94,10 +136,13 @@ def extract_candidates(
     else:
         joined = ap.join(bp, ap.a_url == bp.b_url, "inner")
 
+    any_nullable = nullables[0] or nullables[1]
     cond = F.lit(True)
     if not self_relations:
-        # a == b means the same span context (candidates.py:296-298)
-        cond = cond & (F.col("a_stable_id") != F.col("b_stable_id"))
+        # a == b means the same span context (candidates.py:296-298);
+        # null-safe so the all-null tuple is dropped (None == None there)
+        # while (span, None) tuples survive
+        cond = cond & ~F.col("a_stable_id").eqNullSafe(F.col("b_stable_id"))
     if not nested_relations:
         same_sent = F.col("a_sentence_sid") == F.col("b_sentence_sid")
         a_in_b = (
@@ -108,7 +153,13 @@ def extract_candidates(
             (F.col("a_char_start") <= F.col("b_char_start"))
             & (F.col("b_char_end") <= F.col("a_char_end"))
         )
-        cond = cond & ~(same_sent & (a_in_b | b_in_a))
+        not_nested = ~(same_sent & (a_in_b | b_in_a))
+        if any_nullable:
+            # candidates.py:300-301: skip the nested check when either
+            # side is None
+            not_nested = (F.col("a_stable_id").isNull()
+                          | F.col("b_stable_id").isNull() | not_nested)
+        cond = cond & not_nested
     if not symmetric_relations:
         cond = cond & (F.col("a_mention_idx") <= F.col("b_mention_idx"))
 
@@ -131,7 +182,14 @@ def extract_candidates(
         .withColumn("split", F.lit(split))
         .withColumn(
             "candidate_sid",
-            F.concat_ws("~~", F.col("a_stable_id"), F.col("b_stable_id")),
+            # the reference's stable-id tuple holds None for a nullable
+            # slot; "NULL" keeps the sid's arity visible (concat_ws alone
+            # would silently drop the slot)
+            F.concat_ws(
+                "~~",
+                F.coalesce(F.col("a_stable_id"), F.lit("NULL")),
+                F.coalesce(F.col("b_stable_id"), F.lit("NULL")),
+            ),
         )
         .withColumn("url", F.col("a_url"))
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -173,6 +173,92 @@ def _lingual_unary(row: dict, prefix: str, lemmas, pos_tags,
                 yield f"DEP_HEAD_LEMMA_[{lemmas[h].lower()}]"
 
 
+def _span_head(ws: int, we: int, parents) -> int:
+    """The span's dependency head: the first span token whose parent lies
+    outside the span (the subtree root the reference's corenlp_to_xmltree
+    prune keeps), else the last span token."""
+    for i in range(ws, we + 1):
+        if i >= len(parents):
+            break
+        p = parents[i]
+        if p is None or p == i or not (ws <= p <= we):
+            return i
+    return min(we, len(parents) - 1)
+
+
+def _treedlib_unary(row: dict, prefix: str, lemmas, dep_labels,
+                    dep_parents, n_max: int = 3) -> Iterator[str]:
+    """Dependency-TREE entity features — the engine's equivalents of the
+    reference's TreeDLib templates (textual_features.py:116-130: Indicator
+    lemma/dep_label/dep_label,lemma; Ngrams(Parents(m,3),'lemma',(1,3));
+    Ngrams(Children(m),'lemma',(1,3)); Left/RightNgrams(Left/RightSiblings)
+    over lemma+dep_label). Names are engine-native under the reference's
+    TDL_ namespace (the treedlib package's exact string formats are not
+    reproduced — it is absent from this environment; semantics per template
+    are). Gated on dep parses being populated (regex_tagger or spaCy),
+    no-ops under SimpleParser exactly like the reference without NLP.
+
+    - TDL_LEMMA_[..] / TDL_DEP_[..] / TDL_DEP_LEMMA_[..]: span-token
+      indicator sequences (lemma, dep_label, combined dep_label/lemma);
+    - TDL_PARENT_LEMMA_[..]: 1..n-gram lemmas along the path of up to 3
+      ancestors above the span head;
+    - TDL_CHILD_LEMMA_[..]: 1..n-grams over the head's out-of-span children
+      (token order);
+    - TDL_{LEFT,RIGHT}_SIB_{LEMMA,DEP}_[..]: unigrams of the head's
+      siblings (same parent, outside the span), split by side.
+    """
+    if lemmas is None or dep_labels is None or dep_parents is None:
+        return
+    lemmas = list(lemmas)
+    dep_labels = list(dep_labels)
+    parents = list(dep_parents)
+    if not parents or not any(dep_labels):
+        return
+    ws, we = _span_word_range(row, prefix)
+    if ws is None or we is None or we >= len(parents):
+        return
+    span_lemmas = [lemmas[i].lower() for i in range(ws, we + 1) if lemmas[i]]
+    span_deps = [dep_labels[i] or "_" for i in range(ws, we + 1)]
+    if span_lemmas:
+        yield f"TDL_LEMMA_[{' '.join(span_lemmas)}]"
+    yield f"TDL_DEP_[{' '.join(span_deps)}]"
+    if span_lemmas:
+        combo = " ".join(
+            f"{dep_labels[i] or '_'}/{(lemmas[i] or '').lower()}"
+            for i in range(ws, we + 1)
+        )
+        yield f"TDL_DEP_LEMMA_[{combo}]"
+    head = _span_head(ws, we, parents)
+    # parents path (up to 3 ancestors), lemma 1..n-grams along it
+    path: List[str] = []
+    i = head
+    for _ in range(3):
+        p = parents[i]
+        if p is None or p == i or not (0 <= p < len(lemmas)):
+            break
+        path.append((lemmas[p] or "").lower())
+        i = p
+    for n in range(1, min(n_max, len(path)) + 1):
+        for s in range(len(path) - n + 1):
+            yield f"TDL_PARENT_LEMMA_[{' '.join(path[s:s + n])}]"
+    children = [j for j in range(len(parents))
+                if parents[j] == head and j != head and not (ws <= j <= we)]
+    child_lemmas = [(lemmas[j] or "").lower() for j in children]
+    for n in range(1, min(n_max, len(child_lemmas)) + 1):
+        for s in range(len(child_lemmas) - n + 1):
+            yield f"TDL_CHILD_LEMMA_[{' '.join(child_lemmas[s:s + n])}]"
+    hp = parents[head]
+    if hp is not None and 0 <= hp < len(parents) and hp != head:
+        sibs = [j for j in range(len(parents))
+                if parents[j] == hp and j != hp and not (ws <= j <= we)]
+        for j in sibs:
+            side = "LEFT" if j < ws else "RIGHT"
+            if lemmas[j]:
+                yield f"TDL_{side}_SIB_LEMMA_[{lemmas[j].lower()}]"
+            if dep_labels[j]:
+                yield f"TDL_{side}_SIB_DEP_[{dep_labels[j]}]"
+
+
 def _walk_to_root(idx: int, parents, max_steps: int = 64):
     """Token indices from idx up to the dependency root (parent == self or
     out-of-range terminates; max_steps guards malformed cycles)."""
@@ -234,9 +320,14 @@ def _visual_unary(row: dict, prefix: str) -> Iterator[str]:
     """Visual-layout features (visual_features.py:76-85): gated on the span
     carrying a page (hOCR/PDF payloads attach bboxes at parse time; webtext
     sentences have no visual arrays so this no-ops, matching the
-    reference's is_visual() check)."""
+    reference's is_visual() check). ALIGNED_{lemma} features read the
+    sentence's visually-aligned lemma vocabulary joined in by featurize()
+    (visual_aligned_lemmas — the reference's get_visual_aligned_lemmas,
+    data_model_utils/visual.py:384-470)."""
     if row.get(f"{prefix}page") is None:
         return
+    for lemma in _arr(row.get(f"{prefix}aligned_lemmas")):
+        yield f"ALIGNED_{lemma}"
     yield f"PAGE_[{row[f'{prefix}page']}]"
 
 
@@ -247,33 +338,44 @@ def _bbox(row: dict, prefix: str):
             row[f"{prefix}right"], row[f"{prefix}bottom"])
 
 
-def _visual_binary(row: dict) -> Iterator[str]:
-    """Relation-level visual features (visual_features.py:88-108) with the
-    reference's exact alignment math (utils_visual.py:65-137: 1.5pt overlap
-    shrink, 2pt borders, 5pt centers)."""
-    pa, pb = row.get("a_page"), row.get("b_page")
-    if pa is None or pb is None:
+def _visual_rel(row: dict, slots: Sequence[str]) -> Iterator[str]:
+    """Relation-level visual features over all slots (visual_features.py:
+    88-108 — for multinary the reference's is_*_aligned helpers demand the
+    condition of EVERY span pair) with the reference's exact alignment math
+    (utils_visual.py:65-137: 1.5pt overlap shrink, 2pt borders, 5pt
+    centers)."""
+    pages = [row.get(f"{p}page") for p in slots]
+    if any(p is None for p in pages):
         return
-    if pa != pb:
+    if any(p != pages[0] for p in pages[1:]):
         # alignment features only exist inside the same_page branch
         # (visual_features.py:92-108) — cross-page coordinate overlap is
         # coincidence, not layout signal
         return
     yield "SAME_PAGE"
-    a, b = _bbox(row, "a_"), _bbox(row, "b_")
-    if a is None or b is None:
+    boxes = [_bbox(row, p) for p in slots]
+    if any(b is None for b in boxes):
         return
-    al, at, ar, ab_ = a
-    bl, bt, br, bb = b
-    if not (at + 1.5 > bb - 1.5 or bt + 1.5 > ab_ - 1.5):
+    pairs = [
+        (boxes[i], boxes[j])
+        for i in range(len(boxes)) for j in range(i + 1, len(boxes))
+    ]
+
+    def all_pairs(pred) -> bool:
+        return all(pred(a, b) for a, b in pairs)
+
+    if all_pairs(lambda a, b:
+                 not (a[1] + 1.5 > b[3] - 1.5 or b[1] + 1.5 > a[3] - 1.5)):
         yield "HORZ_ALIGNED"
-    if not (al + 1.5 > br - 1.5 or bl + 1.5 > ar - 1.5):
+    if all_pairs(lambda a, b:
+                 not (a[0] + 1.5 > b[2] - 1.5 or b[0] + 1.5 > a[2] - 1.5)):
         yield "VERT_ALIGNED"
-    if abs(al - bl) <= 2:
+    if all_pairs(lambda a, b: abs(a[0] - b[0]) <= 2):
         yield "VERT_ALIGNED_LEFT"
-    if abs(ar - br) <= 2:
+    if all_pairs(lambda a, b: abs(a[2] - b[2]) <= 2):
         yield "VERT_ALIGNED_RIGHT"
-    if abs((ar + al) / 2.0 - (br + bl) / 2.0) <= 5:
+    if all_pairs(lambda a, b:
+                 abs((a[2] + a[0]) / 2.0 - (b[2] + b[0]) / 2.0) <= 5):
         yield "VERT_ALIGNED_CENTER"
 
 
@@ -353,46 +455,76 @@ def _structural_unary(row: dict, prefix: str) -> Iterator[str]:
         yield f"ANCESTOR_ID_[{' '.join(anc_ids)}]"
 
 
-def _binary_feats(row: dict) -> Iterator[str]:
-    """Relation-level features (tabular_features.py:132-191,
-    structural_features.py:100-117)."""
-    if row.get("a_sentence_sid") == row.get("b_sentence_sid"):
+def _pair_axis_diff(row: dict, pa: str, pb: str, axis: str) -> int:
+    return min(
+        abs(row[f"{pa}{axis}_start"] - row[f"{pb}{axis}_end"]),
+        abs(row[f"{pa}{axis}_end"] - row[f"{pb}{axis}_start"]),
+        abs(row[f"{pa}{axis}_start"] - row[f"{pb}{axis}_start"]),
+    )
+
+
+def _rel_feats(row: dict, slots: Sequence[str]) -> Iterator[str]:
+    """Relation-level features over ALL slots (tabular_features.py:132-191
+    binary + multinary branches, structural_features.py:100-117): n-ary
+    candidates (m0_/m1_/...) get the same feature names with the diffs
+    taken as the min over slot pairs, exactly the reference's
+    min_row_diff/min_col_diff-over-the-span-list semantics; for arity 2
+    this reduces to the previous binary behavior (row-identical, relied on
+    by the kg_features oracle)."""
+    sids = [row.get(f"{p}sentence_sid") for p in slots]
+    if all(s == sids[0] for s in sids[1:]):
         yield "SAME_SENTENCE"
-    a_t, b_t = row.get("a_table_sid"), row.get("b_table_sid")
-    if a_t is not None and b_t is not None:
-        if a_t == b_t:
+    tabs = [row.get(f"{p}table_sid") for p in slots]
+    if all(t is not None for t in tabs):
+        if all(t == tabs[0] for t in tabs[1:]):
             yield "SAME_TABLE"
-            rd = min(
-                abs(row["a_row_start"] - row["b_row_end"]),
-                abs(row["a_row_end"] - row["b_row_start"]),
-                abs(row["a_row_start"] - row["b_row_start"]),
-            )
-            cd = min(
-                abs(row["a_col_start"] - row["b_col_end"]),
-                abs(row["a_col_end"] - row["b_col_start"]),
-                abs(row["a_col_start"] - row["b_col_start"]),
-            )
+            pairs = [
+                (slots[i], slots[j])
+                for i in range(len(slots)) for j in range(i + 1, len(slots))
+            ]
+            rd = min(_pair_axis_diff(row, a, b, "row") for a, b in pairs)
+            cd = min(_pair_axis_diff(row, a, b, "col") for a, b in pairs)
             yield f"SAME_TABLE_ROW_DIFF_[{rd}]"
             yield f"SAME_TABLE_COL_DIFF_[{cd}]"
             yield f"SAME_TABLE_MANHATTAN_DIST_[{rd + cd}]"
-            if row.get("a_cell_sid") == row.get("b_cell_sid"):
+            cells = [row.get(f"{p}cell_sid") for p in slots]
+            if all(c == cells[0] for c in cells[1:]):
                 yield "SAME_CELL"
         else:
             yield "DIFF_TABLE"
-    # common xpath-prefix ancestor (structural.py:172-221)
-    xa = (row.get("a_xpath") or "").split("/")
-    xb = (row.get("b_xpath") or "").split("/")
+    # common xpath-prefix ancestor across all slots (structural.py:172-221)
+    xps = [(row.get(f"{p}xpath") or "").split("/") for p in slots]
     common = 0
-    for pa, pb in zip(xa, xb):
-        if pa != pb:
+    for parts in zip(*xps):
+        if any(q != parts[0] for q in parts[1:]):
             break
         common += 1
     if common > 1:
-        yield f"COMMON_ANCESTOR_[{'/'.join(xa[:common])}]"
-        yield f"LOWEST_ANCESTOR_DEPTH_[{min(len(xa), len(xb)) - common}]"
+        yield f"COMMON_ANCESTOR_[{'/'.join(xps[0][:common])}]"
+        yield f"LOWEST_ANCESTOR_DEPTH_[{min(len(x) for x in xps) - common}]"
 
 
 CustomFeatureFn = Callable[[dict], Iterator[str]]
+
+
+def _slot_prefixes(columns: Sequence[str]) -> List[str]:
+    """Candidate slot prefixes: binary frames carry a_/b_ columns, n-ary
+    frames (extract_candidates_nary) m0_/m1_/... — featurization handles
+    both, like the reference's multinary branches (textual_features.py:
+    70-106, tabular_features.py:50-71; tested by the reference at
+    tests/features/test_features.py:239 multinary extraction)."""
+    import re as _re
+
+    if "a_stable_id" in columns:
+        return ["a_", "b_"]
+    idxs = sorted({
+        int(m.group(1))
+        for c in columns
+        for m in [_re.match(r"m(\d+)_stable_id$", c)] if m
+    })
+    if not idxs:
+        raise ValueError("no candidate slot columns (a_/b_ or m{i}_) found")
+    return [f"m{i}_" for i in idxs]
 
 
 def _lower_ngrams_col(words, n_max: int):
@@ -413,6 +545,68 @@ def _lower_ngrams_col(words, n_max: int):
 
     arrs = [toks] + [ngrams_of(n) for n in range(2, n_max + 1)]
     return F.flatten(F.array(*arrs)) if len(arrs) > 1 else arrs[0]
+
+
+def visual_aligned_lemmas(sentences: DataFrame) -> DataFrame:
+    """(sentence stable_id) -> aligned_lemmas[]: the lemmas visually aligned
+    with each sentence, replacing the reference's per-document driver-side
+    preprocessing (data_model_utils/visual.py:384-438
+    _preprocess_visual_features) with one windowed DataFrame pass:
+
+    - sentences group per page by exact yc / x0 / x1 / xc (center/left/
+      right edges of the sentence bbox — the defaultdict float keys of the
+      reference);
+    - within a group (yc groups ordered by xc, edge groups by yc), each
+      sentence receives the ACCUMULATED lemmas of its predecessors — only
+      from sentences with < 7 lemmas, alphabetic lemmas only, lowercased —
+      both bare and align-type-prefixed (Y_/LEFT_/RIGHT_/CENTER_), exactly
+      _assign_alignment_features's cumulative-context protocol (a group's
+      first sentence gets nothing, so size-1 groups contribute nothing).
+
+    O(#sentences) work: 4 window passes + one groupBy; nothing touches the
+    (much larger) candidate frame until the final slot join. Requires a
+    lingual parse that fills lemmas (regex_tagger/spaCy) — SimpleParser's
+    empty lemmas yield no alignment vocabulary, like the reference without
+    NLP."""
+    sent = (
+        sentences.where(F.col("ctx_type") == "sentence")
+        if "ctx_type" in sentences.columns else sentences
+    )
+    sent = sent.where(F.col("page").isNotNull() & (F.size("page") > 0))
+    base = sent.select(
+        "url", "stable_id", "lemmas",
+        F.col("page").getItem(0).alias("pg"),
+        F.array_min("left").cast("double").alias("x0"),
+        F.array_max("right").cast("double").alias("x1"),
+        ((F.array_min("top") + F.array_max("bottom")) / 2.0).alias("yc"),
+        ((F.array_min("left") + F.array_max("right")) / 2.0).alias("xc"),
+    ).withColumn(
+        "contrib",
+        F.when(
+            F.size("lemmas") < 7,
+            F.filter(
+                F.transform("lemmas", lambda x: F.lower(x)),
+                lambda x: x.rlike(r"^\p{L}+$"),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    outs = []
+    for key, order, tag in (("yc", "xc", "Y_"), ("x0", "yc", "LEFT_"),
+                            ("x1", "yc", "RIGHT_"), ("xc", "yc", "CENTER_")):
+        w = (
+            Window.partitionBy("url", "pg", key)
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.array_distinct(F.flatten(F.collect_list("contrib").over(w)))
+        both = F.concat(
+            prev, F.transform(prev, lambda x: F.concat(F.lit(tag), x)))
+        outs.append(base.select("stable_id", F.explode(both).alias("al")))
+    allf = outs[0]
+    for o in outs[1:]:
+        allf = allf.unionByName(o)
+    return allf.groupBy("stable_id").agg(
+        F.collect_set("al").alias("aligned_lemmas"))
 
 
 def tabular_vocabs(sentences: DataFrame, n_max: int = NGRAM_MAX):
@@ -460,7 +654,8 @@ def tabular_vocabs(sentences: DataFrame, n_max: int = NGRAM_MAX):
 
 
 def _join_tabular_vocabs(df: DataFrame, sentences: DataFrame,
-                         n_max: int) -> DataFrame:
+                         n_max: int,
+                         slots: Sequence[str] = ("a_", "b_")) -> DataFrame:
     """Left-join the row/col/cell vocabularies onto both candidate slots.
 
     The three vocabularies are pre-joined into ONE per-cell frame first
@@ -491,7 +686,7 @@ def _join_tabular_vocabs(df: DataFrame, sentences: DataFrame,
     )
     vocab_cols = ("cell_ngrams", "row_ngrams", "row_head_ngrams",
                   "col_ngrams", "col_head_ngrams")
-    for p in ("a_", "b_"):
+    for p in slots:
         pc = per_cell.select(
             F.col("url").alias("_vu"), F.col("cell_sid").alias("_vc"),
             *[F.col(c).alias(f"{p}{c}") for c in vocab_cols],
@@ -514,6 +709,13 @@ def featurize(
 ) -> DataFrame:
     """candidates -> features(candidate_sid, keys[], values[]).
 
+    Handles binary (a_/b_) AND n-ary (m0_/m1_/...) candidate frames: slot
+    prefixes are detected from the columns, per-slot unary features carry
+    e{i}_ prefixes, and relation-level features generalize to all-slot
+    conditions with min-over-pairs diffs (the reference's multinary
+    branches, tabular_features.py:133-191). Nullable slots (null stable_id)
+    contribute no unary features; relation features use the present slots.
+
     ``sentences``: the parsed contexts frame (or a sentence slice); needed
     for the textual library's token windows and the tabular library's
     aligned/head/cell ngram vocabularies. When omitted, textual features
@@ -527,6 +729,7 @@ def featurize(
     window = cfg_window if window is None else window
     ngram_max = cfg_nmax if ngram_max is None else ngram_max
 
+    slots = _slot_prefixes(candidates.columns)
     df = candidates
     have_words = False
     if sentences is not None and ("textual" in libs or "lingual" in libs):
@@ -534,7 +737,7 @@ def featurize(
             sentences.where(F.col("ctx_type") == "sentence")
             if "ctx_type" in sentences.columns else sentences
         )
-        for p in ("a_", "b_"):
+        for p in slots:
             slim = sent.select(
                 F.col("stable_id").alias(f"{p}sentence_sid"),
                 F.col("words").alias(f"{p}sent_words"),
@@ -546,7 +749,17 @@ def featurize(
             df = df.join(slim, f"{p}sentence_sid", "left")
         have_words = True
     if sentences is not None and "tabular" in libs:
-        df = _join_tabular_vocabs(df, sentences, ngram_max)
+        df = _join_tabular_vocabs(df, sentences, ngram_max, slots)
+    if sentences is not None and "visual" in libs:
+        av = visual_aligned_lemmas(sentences)
+        for p in slots:
+            df = df.join(
+                av.select(
+                    F.col("stable_id").alias(f"{p}sentence_sid"),
+                    F.col("aligned_lemmas").alias(f"{p}aligned_lemmas"),
+                ),
+                f"{p}sentence_sid", "left",
+            )
 
     libset = set(libs)
     custom_fns = list(custom)
@@ -564,8 +777,10 @@ def featurize(
                         seen.add(k)
                         keys.append(k)
 
-                for i, p in enumerate(("a_", "b_")):
+                for i, p in enumerate(slots):
                     pre = f"e{i}_"
+                    if row.get(f"{p}stable_id") is None:
+                        continue  # nullable slot: no span, no unary feats
                     if "textual" in libset:
                         words = (row.get(f"{p}sent_words")
                                  if have_words else None)
@@ -589,6 +804,13 @@ def featurize(
                                 row.get(f"{p}sent_dep_parents"),
                             ):
                                 emit(pre, name)
+                            for name in _treedlib_unary(
+                                row, p,
+                                row.get(f"{p}sent_lemmas"),
+                                row.get(f"{p}sent_dep_labels"),
+                                row.get(f"{p}sent_dep_parents"),
+                            ):
+                                emit(pre, name)
                             for name in _window_unary(
                                 row, p,
                                 row.get(f"{p}sent_lemmas"),
@@ -605,12 +827,15 @@ def featurize(
                     if "structural" in libset:
                         for name in _structural_unary(row, p):
                             emit(pre, name)
-                for name in _binary_feats(row):
-                    emit("", name)
-                if "visual" in libset:
-                    for name in _visual_binary(row):
+                present = [p for p in slots
+                           if row.get(f"{p}stable_id") is not None]
+                if len(present) >= 2:
+                    for name in _rel_feats(row, present):
                         emit("", name)
-                if have_words and "textual" in libset:
+                    if "visual" in libset:
+                        for name in _visual_rel(row, present):
+                            emit("", name)
+                if have_words and "textual" in libset and slots == ["a_", "b_"]:
                     for name in _dep_path_binary(row):
                         emit("", name)
                 for cfn in custom_fns:
@@ -619,7 +844,8 @@ def featurize(
                 out.append({
                     "candidate_sid": row["candidate_sid"],
                     "candidate_type": row.get("candidate_type"),
-                    "url": row.get("url") or row.get("a_url"),
+                    "url": (row.get("url") or row.get("a_url")
+                            or row.get("m0_url")),
                     "keys": keys,
                     "values": [1.0] * len(keys),
                 })

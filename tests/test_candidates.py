@@ -221,3 +221,35 @@ def test_overflow_marker_and_routing(spark):
     assert got == want
     # the overflow doc's candidates are present in the routed output
     assert any(sid.startswith(url_of(0)) for sid, _, _ in got)
+
+
+def test_nullable_slot_candidates(spark, mentions_df):
+    """Per-slot nullables (reference candidate.py:100-102, candidates.py:
+    268, tests/candidates/test_candidates.py:547): a nullable slot adds one
+    (span, None) candidate per document; the all-null tuple is dropped by
+    the null-safe self check; nested check skips null sides."""
+    from fonduer_spark.candidates_op import extract_candidates
+
+    mentions = mentions_df
+    base = extract_candidates(mentions, "pt", "A", "B")
+    nb = extract_candidates(mentions, "pt", "A", "B",
+                            nullables=(False, True))
+    n_parts = mentions.where(F.col("mention_type") == "A").count()
+    assert nb.count() == base.count() + n_parts
+    nulls = nb.where(F.col("b_stable_id").isNull())
+    assert nulls.count() == n_parts
+    r = nulls.select("candidate_sid", "url", "a_stable_id").first()
+    assert r.candidate_sid.endswith("~~NULL")
+    assert r.url is not None and r.a_stable_id is not None
+    # both nullable: adds (None, temp) per doc too, but never (None, None)
+    n_docs = mentions.select("url").distinct().count()
+    n_temps = mentions.where(F.col("mention_type") == "B").count()
+    both = extract_candidates(mentions, "pt", "A", "B",
+                              nullables=(True, True))
+    assert both.count() == base.count() + n_parts + n_temps
+    assert both.where(
+        F.col("a_stable_id").isNull() & F.col("b_stable_id").isNull()
+    ).count() == 0
+    # non-nullable call sites are untouched (default path identical)
+    assert base.count() == extract_candidates(
+        mentions, "pt", "A", "B", nullables=(False, False)).count()

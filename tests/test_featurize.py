@@ -301,3 +301,92 @@ def test_dep_path_binary_features(spark):
     # a head = PN10A (the LCA itself): empty up-path; b head = 85 -> rated
     assert "DEP_PATH_[]_[acl/num]" in keys
     assert "DEP_LCA_LEMMA_[pn10a]" in keys
+
+
+def test_multinary_feature_extraction(spark, stages):
+    """Ternary (part, tmin, tmax) candidates featurize end-to-end with
+    e0_/e1_/e2_ slot prefixes and all-slot relation features (reference
+    tests/features/test_features.py:239 multinary analogue). Golden counts
+    from the corpus formulas: doc 1 table 0 row 0 -> n_rows=4, no footer:
+    e0 = 3+ (8+4) +8 = 23, e1 = 2+ (13+4) +9 = 28, e2 = 28, rel = 6."""
+    from fonduer_spark.candidates_op import extract_candidates_nary
+    from fonduer_spark.featurize import featurize
+
+    def thr(df):
+        same_tab = (
+            F.col("m0_table_sid").isNotNull()
+            & (F.col("m0_table_sid") == F.col("m1_table_sid"))
+            & (F.col("m0_table_sid") == F.col("m2_table_sid"))
+        )
+
+        def olap(a, b):
+            return ~(
+                (F.col(f"{a}_row_start") > F.col(f"{b}_row_end"))
+                | (F.col(f"{b}_row_start") > F.col(f"{a}_row_end"))
+            )
+
+        return (same_tab & olap("m0", "m1") & olap("m0", "m2")
+                & (F.col("m1_col_start") < F.col("m2_col_start")))
+
+    cands = extract_candidates_nary(
+        stages["mentions"], "ptt", ["part", "temp", "temp"], throttler=thr)
+    one = cands.where(
+        (F.col("url") == "https://fixture.test/d000001")
+        & (F.col("m0_row_start") == 1)
+        & (F.col("m0_table_sid").endswith("table:0"))
+    )
+    f = featurize(one, stages["parsed"])
+    rows = f.collect()
+    assert len(rows) == 1
+    ks = rows[0].keys
+    by_slot = {}
+    for k in ks:
+        slot = k[:3] if k[:1] == "e" else "rel"
+        by_slot.setdefault(slot, []).append(k)
+    assert len(by_slot["e0_"]) == 23
+    assert len(by_slot["e1_"]) == 28
+    assert len(by_slot["e2_"]) == 28
+    assert sorted(by_slot["rel"]) == [
+        "COMMON_ANCESTOR_[/html/body/table[1]/tr[2]]",
+        "LOWEST_ANCESTOR_DEPTH_[1]",
+        "SAME_TABLE",
+        "SAME_TABLE_COL_DIFF_[1]",
+        "SAME_TABLE_MANHATTAN_DIST_[1]",
+        "SAME_TABLE_ROW_DIFF_[0]",
+    ]
+    # slot-specific content: the tmin slot sees the Min Temp column head,
+    # the tmax slot the Max Temp one
+    assert "e1_COL_HEAD_WORDS_[min temp]" in ks
+    assert "e2_COL_HEAD_WORDS_[max temp]" in ks
+
+
+def test_treedlib_tree_features_golden():
+    """Feature-name-level golden test for the TreeDLib-equivalent tree
+    features (reference textual_features.py:116-130 templates) on a real
+    little dependency tree: 'The cat sat on mat' with det/nsubj/root/prep/
+    pobj arcs."""
+    from fonduer_spark.featurize import _treedlib_unary
+
+    lemmas = ["the", "cat", "sat", "on", "mat"]
+    deps = ["det", "nsubj", "root", "prep", "pobj"]
+    parents = [1, 2, 2, 2, 3]
+    got = set(_treedlib_unary(
+        {"x_word_start": 1, "x_word_end": 1}, "x_", lemmas, deps, parents))
+    assert got == {
+        "TDL_LEMMA_[cat]",
+        "TDL_DEP_[nsubj]",
+        "TDL_DEP_LEMMA_[nsubj/cat]",
+        "TDL_PARENT_LEMMA_[sat]",       # Ngrams(Parents(m,3), lemma)
+        "TDL_CHILD_LEMMA_[the]",        # Ngrams(Children(m), lemma)
+        "TDL_RIGHT_SIB_LEMMA_[on]",     # RightNgrams(RightSiblings(m))
+        "TDL_RIGHT_SIB_DEP_[prep]",
+    }
+    # multi-step parent path -> 1..3-gram lemmas along it
+    got4 = set(_treedlib_unary(
+        {"x_word_start": 4, "x_word_end": 4}, "x_", lemmas, deps, parents))
+    assert {"TDL_PARENT_LEMMA_[on]", "TDL_PARENT_LEMMA_[sat]",
+            "TDL_PARENT_LEMMA_[on sat]"} <= got4
+    # SimpleParser (no dep parse) -> library no-ops like the reference
+    assert not list(_treedlib_unary(
+        {"x_word_start": 0, "x_word_end": 0}, "x_",
+        ["", ""], ["", ""], [0, 0]))
