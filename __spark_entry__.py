@@ -325,6 +325,60 @@ def q_kg_visual_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_visual_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual featurization census, oracle-checked: the hOCR pipeline
+    (header line + body lines at arithmetic bboxes) parsed with the
+    regex tagger, candidates featurized with the visual library, and the
+    visual-family keys counted per (url, slot_family). Each slot carries
+    exactly 12 ALIGNED_* lemmas (the header's {part,min,max} bare +
+    LEFT_/RIGHT_/CENTER_-prefixed, via the cumulative alignment-group
+    protocol of visual_aligned_lemmas) + 1 PAGE_ key; each candidate adds
+    SAME_PAGE + HORZ_ALIGNED (never VERT_*: the columns are 10+pt apart)."""
+    import pandas as pd
+
+    from fonduer_spark.candidates_op import extract_candidates
+    from fonduer_spark.corpus import (
+        WEB_PAGES_SCHEMA, load_docs, render_hocr, url_of)
+    from fonduer_spark.data_model_utils import is_horz_aligned, same_page
+    from fonduer_spark.featurize import featurize
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.parse import ParseConfig, contexts_of, parse_webpages
+    from fonduer_spark.pipeline import default_mention_specs
+    from fonduer_spark.sources import rewrite_hocr
+
+    docs = load_docs(spark, sf_dir)
+    cfg = ParseConfig(visual="hocr", lingual="regex_tagger")
+    mentions = extract_mentions_fused(
+        docs, default_mention_specs(),
+        render=lambda i, text: rewrite_hocr(render_hocr(int(i))),
+        parse_cfg=cfg,
+    )
+    cands = extract_candidates(
+        mentions, "part_temp_visual", "part", "temp",
+        throttler=lambda df: same_page() & is_horz_aligned(),
+        throttler_kind="column",
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": [url_of(int(i)) for i in pdf["doc_id"]],
+                "warc_ts": pd.NaT,
+                "html": [rewrite_hocr(render_hocr(int(i))).encode("utf-8")
+                         for i in pdf["doc_id"]],
+                "text": "",
+                "lang": "en",
+            })
+
+    pages = docs.mapInPandas(gen, WEB_PAGES_SCHEMA)
+    sentences = contexts_of(parse_webpages(pages, cfg), "sentence")
+    feats = featurize(cands, sentences,
+                      libs=("textual", "tabular", "structural", "visual"))
+    census = _family_census(feats)
+    return census.where(F.col("family").endswith("visual")).orderBy(
+        "url", "family")
+
+
 def q_kg_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING engine path, oracle-checked: web pages written as a
     parquet drop, readStream -> the same fused parse+mention stage
@@ -658,6 +712,23 @@ comp AS (SELECT v, min(c) AS component FROM reach GROUP BY v)
 SELECT coalesce(component, f.surface) AS entity_id, f.surface, n_refs
 FROM forms f LEFT JOIN comp ON comp.v = f.surface
 ORDER BY entity_id, surface
+"""
+
+# kg_visual_feats oracle: per candidate, 13 visual keys per slot (12
+# ALIGNED_ + PAGE_) and 2 relation-level (SAME_PAGE + HORZ_ALIGNED); 2
+# candidates per body row.
+_KG_VISUAL_FEATS_SQL = _KG_CELLS_CTE + """
+, agg AS (
+  SELECT i, SUM(2 * 13) AS per_slot, SUM(2 * 2) AS rel FROM cells GROUP BY i
+)
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       fam AS family, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT i, 'e0_visual' AS fam, per_slot AS n FROM agg
+  UNION ALL SELECT i, 'e1_visual', per_slot FROM agg
+  UNION ALL SELECT i, 'visual', rel FROM agg
+)
+ORDER BY url, family
 """
 
 _KG_NER_NUMBERS_SQL = _KG_CELLS_CTE + """
@@ -1477,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_feature_rowcol": q_kg_feature_rowcol,
         "kg_ner_numbers": q_kg_ner_numbers,
         "kg_visual_align": q_kg_visual_align,
+        "kg_visual_feats": q_kg_visual_feats,
         "kg_stream_mentions": q_kg_stream_mentions,
         "kg_nary": q_kg_nary,
         "kg_part_mentions": q_kg_part_mentions,
@@ -1535,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
         # visual pipeline recovers exactly the per-row (part, tmin/tmax)
         # pairs -> same count formula as the structural candidate query
         "kg_visual_align": _KG_CANDS_SQL.replace("n_candidates", "n"),
+        "kg_visual_feats": _KG_VISUAL_FEATS_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
         "kg_nary": _KG_NARY_SQL,
         "kg_entities": _KG_ENTITIES_SQL,

@@ -113,28 +113,34 @@ def url_of(i: int) -> str:
 
 def render_hocr(i: int) -> str:
     """Render doc i as a deterministic hOCR document: one ocr_page per table
-    index, one ocr_line per body row carrying (part, tmin, tmax) as
-    ocrx_words at arithmetic bboxes (word k of row r: x = 100k+10..100k+90,
-    y = 20r+10..20r+22). The visual-modality twin of render_page — the same
-    gold facts, recoverable through bbox alignment instead of table
-    structure."""
+    index, a header line ("Part Min Max" at y 0..8 — alphabetic words, so
+    the visual-aligned-lemma vocabularies have content), then one ocr_line
+    per body row carrying (part, tmin, tmax) as ocrx_words at arithmetic
+    bboxes (word k of row r: x = 100k+10..100k+90, y = 20r+10..20r+22).
+    Every line's last word carries a trailing sentence delimiter so the
+    SimpleParser keeps one sentence per ocr_line (the delimiter is split
+    away before matching — '85.' still yields the temp mention '85'). The
+    visual-modality twin of render_page — the same gold facts, recoverable
+    through bbox alignment instead of table structure."""
     pages = []
     for t in range(n_tables(i)):
-        lines = []
-        for r in range(n_rows(i, t)):
-            y0, y1 = 20 * r + 10, 20 * r + 22
-            words = [str(part_code(i, t, r)), str(temp_min(i, t, r)),
-                     str(temp_max(i, t, r))]
+        def line(words, y0, y1):
+            words = words[:-1] + [words[-1] + "."]
             spans = "".join(
                 f'<span class="ocrx_word" '
                 f'title="bbox {100 * k + 10} {y0} {100 * k + 90} {y1}">'
                 f"{w}</span> "
                 for k, w in enumerate(words)
             )
-            lines.append(
-                f'<span class="ocr_line" title="bbox 10 {y0} 290 {y1}">'
-                f"{spans}</span>"
-            )
+            return (f'<span class="ocr_line" title="bbox 10 {y0} 290 {y1}">'
+                    f"{spans}</span>")
+
+        lines = [line(["Part", "Min", "Max"], 0, 8)]
+        for r in range(n_rows(i, t)):
+            y0, y1 = 20 * r + 10, 20 * r + 22
+            lines.append(line(
+                [str(part_code(i, t, r)), str(temp_min(i, t, r)),
+                 str(temp_max(i, t, r))], y0, y1))
         pages.append(
             f'<div class="ocr_page" title="bbox 0 0 600 800; ppageno {t}">'
             f'<p class="ocr_par">{"".join(lines)}</p></div>'

@@ -598,10 +598,15 @@ def visual_aligned_lemmas(sentences: DataFrame) -> DataFrame:
             .orderBy(order)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        prev = F.array_distinct(F.flatten(F.collect_list("contrib").over(w)))
+        staged = base.withColumn(
+            "_prev",
+            F.array_distinct(F.flatten(F.collect_list("contrib").over(w))),
+        )
         both = F.concat(
-            prev, F.transform(prev, lambda x: F.concat(F.lit(tag), x)))
-        outs.append(base.select("stable_id", F.explode(both).alias("al")))
+            F.col("_prev"),
+            F.transform(F.col("_prev"), lambda x: F.concat(F.lit(tag), x)),
+        )
+        outs.append(staged.select("stable_id", F.explode(both).alias("al")))
     allf = outs[0]
     for o in outs[1:]:
         allf = allf.unionByName(o)

@@ -390,3 +390,40 @@ def test_treedlib_tree_features_golden():
     assert not list(_treedlib_unary(
         {"x_word_start": 0, "x_word_end": 0}, "x_",
         ["", ""], ["", ""], [0, 0]))
+
+
+def test_visual_aligned_lemmas_protocol(spark):
+    """The reference's cumulative alignment-group protocol
+    (data_model_utils/visual.py:384-438): within a group the first sentence
+    receives nothing, later ones receive every predecessor's alphabetic
+    lemmas (bare + align-type-prefixed); sentences with >= 7 lemmas
+    contribute nothing but still receive."""
+    from fonduer_spark.featurize import visual_aligned_lemmas
+    from fonduer_spark.parse import CONTEXT_COLUMNS, CONTEXT_SCHEMA
+
+    def s(sid, lemmas, y0, y1):
+        r = dict.fromkeys(CONTEXT_COLUMNS)
+        n = len(lemmas)
+        r.update(url="d", stable_id=sid, ctx_type="sentence", position=0,
+                 words=lemmas, lemmas=lemmas, page=[0] * n,
+                 left=[10] * n, right=[100] * n,
+                 top=[y0] * n, bottom=[y1] * n)
+        return tuple(r[c] for c in CONTEXT_COLUMNS)
+
+    rows = [
+        s("s0", ["Alpha", "beta"], 0, 10),
+        s("s1", ["gamma"], 20, 30),
+        s("s2", ["x" + str(i) for i in range(8)], 40, 50),  # >= 7 lemmas
+    ]
+    df = spark.createDataFrame(rows, CONTEXT_SCHEMA)
+    got = {r.stable_id: set(r.aligned_lemmas)
+           for r in visual_aligned_lemmas(df).collect()}
+    # shared x0/x1/xc groups (LEFT_/RIGHT_/CENTER_); distinct yc -> no Y_
+    assert "s0" not in got  # first in every group
+    assert got["s1"] == {
+        "alpha", "beta",
+        "LEFT_alpha", "LEFT_beta", "RIGHT_alpha", "RIGHT_beta",
+        "CENTER_alpha", "CENTER_beta",
+    }
+    assert got["s2"] == got["s1"] | {
+        "gamma", "LEFT_gamma", "RIGHT_gamma", "CENTER_gamma"}
