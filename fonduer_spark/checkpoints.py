@@ -105,6 +105,28 @@ class SnapshotTable:
         return Snapshot(self.name, next_id, n_rows, snap["wall_ms"], final,
                         signature)
 
+    def merge(self, df: DataFrame, keys: list,
+              signature: Optional[str] = None,
+              partition_by: Optional[list] = None) -> Snapshot:
+        """Keyed upsert — MERGE INTO semantics on snapshot storage: rows of
+        ``df`` replace committed rows with the same key tuple; unmatched
+        committed rows carry over unchanged. The parquet analogue of
+        Iceberg's copy-on-write MERGE and the reference's keyed batch
+        upsert (utils/utils_udf.py:52-122 INSERT ... ON CONFLICT DO UPDATE,
+        driving featurizer.py:65-91 update()/upsert_keys).
+
+        Plan shape: committed LEFT ANTI JOIN new-keys (a broadcast join
+        when the incremental batch is small — the common case) UNION the
+        new rows, committed as the next snapshot. Only the new rows are
+        computed; the carried-over side is a parquet scan."""
+        latest = self.latest()
+        if latest is None:
+            return self.commit(df, signature, partition_by)
+        spark = df.sparkSession
+        old = self.read(spark, latest.snapshot_id)
+        carried = old.join(df.select(*keys).distinct(), keys, "left_anti")
+        return self.commit(carried.unionByName(df), signature, partition_by)
+
     def read(self, spark: SparkSession,
              snapshot_id: Optional[int] = None) -> DataFrame:
         if snapshot_id is None:
@@ -141,6 +163,21 @@ class CheckpointedPipeline:
         t0 = time.time()
         snap = table.commit(build(), self.signature, partition_by=partition_by)
         self.events.append(("compute", name, snap.snapshot_id, snap.n_rows,
+                            int((time.time() - t0) * 1000)))
+        return table.read(self.spark, snap.snapshot_id)
+
+    def upsert_stage(self, name: str, build_new, keys: list,
+                     partition_by: Optional[list] = None) -> DataFrame:
+        """Incremental keyed update of a committed stage (the reference's
+        clear=False update mode, featurizer.py:65-91): ``build_new`` yields
+        ONLY the new/changed rows (e.g. the mentions of newly arrived
+        documents); they merge into the committed snapshot by key. Returns
+        the post-merge table."""
+        table = SnapshotTable(self.root, name)
+        t0 = time.time()
+        snap = table.merge(build_new(), keys, self.signature,
+                           partition_by=partition_by)
+        self.events.append(("upsert", name, snap.snapshot_id, snap.n_rows,
                             int((time.time() - t0) * 1000)))
         return table.read(self.spark, snap.snapshot_id)
 

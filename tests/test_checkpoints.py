@@ -68,3 +68,36 @@ def test_partial_failure_resume(spark, tmp_path):
     assert cp2.events[1][0] == "compute"
     assert df2.count() == 6
     assert cp2.stage("s1", lambda: None).count() == 4
+
+
+def test_keyed_merge_incremental(spark, tmp_path):
+    """Keyed MERGE semantics (reference featurizer.py:65-91 update() /
+    utils_udf.py:52-122 upsert): one new document arrives -> only its rows
+    are computed and merged by key; the result is row-identical to a full
+    rerun over the grown corpus. Same-key rows replace, not duplicate."""
+    from pyspark.sql import functions as F
+
+    from fonduer_spark.corpus import load_docs
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.pipeline import default_mention_specs
+
+    specs = default_mention_specs()
+    t = SnapshotTable(str(tmp_path), "mentions")
+    # initial commit: docs 0-2
+    m3 = extract_mentions_fused(load_docs(spark, SF, max_docs=3), specs)
+    t.commit(m3)
+    # doc 3 arrives: compute ONLY its mentions, merge on stable_id
+    new = extract_mentions_fused(
+        load_docs(spark, SF, max_docs=4).where(F.col("doc_id") == 3), specs)
+    t.merge(new, ["stable_id"])
+    merged = t.read(spark)
+    full = extract_mentions_fused(load_docs(spark, SF, max_docs=4), specs)
+    assert merged.count() == full.count()
+    assert {r.stable_id for r in merged.select("stable_id").collect()} \
+        == {r.stable_id for r in full.select("stable_id").collect()}
+    # re-merging the same keys replaces rows instead of duplicating them
+    t.merge(new, ["stable_id"])
+    assert t.read(spark).count() == full.count()
+    # and the latest snapshot is a new id (copy-on-write, time travel kept)
+    assert t.latest().snapshot_id == 3
+    assert t.read(spark, 1).count() == m3.count()
