@@ -40,7 +40,10 @@ def get_spark(
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_memory)
-        .config("spark.ui.enabled", "false")
+        # UI off by default (startup cost); bench --scaling turns it on via
+        # env to read per-stage shuffle/CPU metrics from the REST API
+        .config("spark.ui.enabled",
+                os.environ.get("SPARK_GRAFT_UI", "false"))
         # Straggler mitigation: this sandbox's vCPUs stall unpredictably
         # (hypervisor jitter); on a real cluster the same setting covers slow
         # nodes. Speculation re-launches the slowest tasks.
