@@ -93,6 +93,109 @@ def train_logreg(
     return dict(zip(keys, w)), float(b)
 
 
+def mark(l: int, h: int, idx: int) -> List[Tuple[int, str]]:
+    """Marker insertions for one argument (reference learning/utils.py:
+    110-119): opening ``~~[[idx`` before word l, closing ``idx]]~~`` after
+    word h."""
+    return [(l, f"~~[[{idx}"), (h + 1, f"{idx}]]~~")]
+
+
+def mark_sentence(s: List[str], args: List[Tuple[int, int, int]]) -> List[str]:
+    """Insert mention markers into a token sequence (reference
+    learning/utils.py:121-139, the FonduerDataset input convention):
+    ``Then Barack married Michelle .`` with args [(1,1,1),(3,3,2)] ->
+    ``Then ~~[[1 Barack 1]]~~ married ~~[[2 Michelle 2]]~~ .``"""
+    marks = sorted([y for m in args for y in mark(*m)], reverse=True)
+    x = list(s)
+    for k, v in marks:
+        x.insert(k, v)
+    return x
+
+
+def marked_slot_tokens(candidates: DataFrame,
+                       sentences: DataFrame) -> DataFrame:
+    """The FonduerDataset tokenization stage as a DataFrame transform
+    (reference learning/dataset.py:84-107 _map_to_id): per candidate slot
+    i, the slot's FULL sentence token sequence with ``~~[[i``/``i]]~~``
+    markers inserted around the span (the reference marks each slot within
+    its own sentence, slot index 0-based as dataset.py passes enumerate's
+    i). Pure JVM slice/concat — no Python stage; at corpus scale this is
+    the map-side prep an LSTM trainer would stream from parquet.
+
+    Output: candidate_sid, url, and one ``m{i}_marked`` array per slot.
+    """
+    from .featurize import _slot_prefixes
+
+    slots = _slot_prefixes(candidates.columns)
+    sent = (
+        sentences.where(F.col("ctx_type") == "sentence")
+        if "ctx_type" in sentences.columns else sentences
+    )
+    df = candidates
+    out_cols = [F.col("candidate_sid"), F.col("url")]
+    for i, p in enumerate(slots):
+        slim = sent.select(
+            F.col("stable_id").alias(f"{p}sentence_sid"),
+            F.col("words").alias(f"{p}_sw"),
+        )
+        df = df.join(slim, f"{p}sentence_sid", "left")
+        words = F.col(f"{p}_sw")
+        ws = F.col(f"{p}word_start")
+        we = F.col(f"{p}word_end")
+        marked = F.concat(
+            F.slice(words, 1, ws),
+            F.array(F.lit(f"~~[[{i}")),
+            F.slice(words, ws + 1, we - ws + 1),
+            F.array(F.lit(f"{i}]]~~")),
+            F.slice(words, we + 2,
+                    F.greatest(F.size(words) - we - 1, F.lit(0))),
+        )
+        out_cols.append(marked.alias(f"m{i}_marked"))
+    return df.select(out_cols)
+
+
+def build_word2id(marked: DataFrame, specials: Tuple[str, ...] = ("<pad>", "<unk>")
+                  ) -> Dict[str, int]:
+    """Vocabulary over the marked token sequences (reference
+    learning/utils.py collect_word_counter + the word2id convention):
+    ids ordered by frequency desc then token asc, after the reserved
+    specials (0 = <pad>, 1 = <unk>). The census is a Spark aggregation;
+    only the vocabulary itself is collected."""
+    m_cols = [c for c in marked.columns if c.endswith("_marked")]
+    ex = None
+    for c in m_cols:
+        part = marked.select(F.explode(c).alias("w"))
+        ex = part if ex is None else ex.unionByName(part)
+    counts = (
+        ex.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .collect()
+    )
+    word2id = {s: i for i, s in enumerate(specials)}
+    for r in counts:
+        word2id[r.w] = len(word2id)
+    return word2id
+
+
+def encode_marked(marked: DataFrame, word2id: Dict[str, int]) -> DataFrame:
+    """Token arrays -> id arrays under the broadcast vocabulary (<unk>
+    fallback), as column expressions — the distributed equivalent of
+    dataset.py:98-107's per-candidate torch.tensor building."""
+    vocab = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in word2id]),
+        F.array(*[F.lit(int(v)) for v in word2id.values()]),
+    )
+    unk = F.lit(int(word2id.get("<unk>", 1)))
+    out = marked
+    for c in [c for c in marked.columns if c.endswith("_marked")]:
+        out = out.withColumn(
+            c.replace("_marked", "_ids"),
+            F.transform(F.col(c),
+                        lambda w: F.coalesce(F.element_at(vocab, w), unk)),
+        )
+    return out
+
+
 def score_with_model(
     features: DataFrame, weights: Dict[str, float], bias: float
 ) -> DataFrame:

@@ -427,3 +427,35 @@ def test_visual_aligned_lemmas_protocol(spark):
     }
     assert got["s2"] == got["s1"] | {
         "gamma", "LEFT_gamma", "RIGHT_gamma", "CENTER_gamma"}
+
+
+def test_fonduer_dataset_marking(spark, stages):
+    """The FonduerDataset layer (reference learning/dataset.py + utils.py
+    mark_sentence): marker golden, distributed marked sequences, vocab and
+    id encoding."""
+    from fonduer_spark.learning import (
+        build_word2id, encode_marked, mark_sentence, marked_slot_tokens)
+
+    assert mark_sentence(
+        "Then Barack married Michelle .".split(), [(1, 1, 1), (3, 3, 2)]
+    ) == "Then ~~[[1 Barack 1]]~~ married ~~[[2 Michelle 2]]~~ .".split()
+
+    marked = marked_slot_tokens(stages["candidates"].limit(20),
+                                stages["sentences"])
+    rows = marked.collect()
+    assert rows
+    for r in rows:
+        # each slot's sentence is a single table cell -> marked len 3
+        assert r.m0_marked[0] == "~~[[0" and r.m0_marked[2] == "0]]~~"
+        assert r.m1_marked[0] == "~~[[1" and r.m1_marked[2] == "1]]~~"
+    w2i = build_word2id(marked)
+    assert w2i["<pad>"] == 0 and w2i["<unk>"] == 1
+    assert "~~[[0" in w2i
+    enc = encode_marked(marked, w2i).collect()
+    inv = {v: k for k, v in w2i.items()}
+    r0 = enc[0]
+    assert [inv[i] for i in r0.m0_ids] == list(r0.m0_marked)
+    # unknown tokens fall back to <unk>
+    small = {k: v for k, v in w2i.items() if k in ("<pad>", "<unk>", "~~[[0")}
+    enc2 = encode_marked(marked, small).collect()[0]
+    assert enc2.m0_ids[0] == small["~~[[0"] and enc2.m0_ids[1] == 1
