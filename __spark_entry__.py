@@ -121,6 +121,7 @@ def _family_census(feats: DataFrame) -> DataFrame:
             "^(CONTAINS_|LEFT_|RIGHT_|STARTS_WITH|LENGTH_)"), "textual")
         .when(stripped.rlike("^(W_|WORD_SEQ|LEMMA_SEQ|POS_SEQ|DEP_)"),
               "lingual")
+        .when(stripped.rlike("^TDL_"), "tdl")
         .when(stripped.rlike("^(ROW_|COL_|CELL_)"), "tabular")
         .when(stripped.rlike(
             "^(TAG_|PARENT_TAG|ANCESTOR_|PREV_SIB|NEXT_SIB|NODE_POS"
@@ -323,6 +324,38 @@ def q_kg_visual_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("url")
     )
+
+
+def q_kg_features_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lingual + dependency-tree featurization census, oracle-checked: the
+    pipeline parsed with the deterministic RegexTaggerParser (lemmas/POS/
+    dep arcs populated), candidates featurized, and the lingual + TDL
+    family keys counted per (url, slot_family). Each single-token cell
+    span yields exactly 3 lingual keys (LEMMA_SEQ + POS_SEQ +
+    DEP_LABEL_[root]; no DEP_HEAD — the token is its own root) and 3 tree
+    keys (TDL_LEMMA/TDL_DEP/TDL_DEP_LEMMA indicators; a one-token star
+    tree has no parents/children/siblings), so the census checks the
+    NLP gating end-to-end (SimpleParser would yield zero)."""
+    from fonduer_spark.candidates_op import extract_candidates, same_row
+    from fonduer_spark.corpus import load_docs, make_web_pages
+    from fonduer_spark.featurize import featurize
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.parse import ParseConfig, contexts_of, parse_webpages
+    from fonduer_spark.pipeline import default_mention_specs
+
+    cfg = ParseConfig(lingual="regex_tagger")
+    docs = load_docs(spark, sf_dir)
+    mentions = extract_mentions_fused(
+        docs, default_mention_specs(), parse_cfg=cfg)
+    cands = extract_candidates(
+        mentions, "part_temp", "part", "temp",
+        throttler=same_row, throttler_kind="column")
+    sentences = contexts_of(
+        parse_webpages(make_web_pages(spark, sf_dir), cfg), "sentence")
+    feats = featurize(cands, sentences)
+    census = _family_census(feats)
+    return census.where(
+        F.col("family").rlike("(lingual|tdl)$")).orderBy("url", "family")
 
 
 def q_kg_visual_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,6 +745,22 @@ comp AS (SELECT v, min(c) AS component FROM reach GROUP BY v)
 SELECT coalesce(component, f.surface) AS entity_id, f.surface, n_refs
 FROM forms f LEFT JOIN comp ON comp.v = f.surface
 ORDER BY entity_id, surface
+"""
+
+# kg_features_lingual oracle: 3 lingual + 3 TDL keys per slot per
+# candidate (single-token cell sentences under the regex tagger), 2
+# candidates per body row.
+_KG_FEATURES_LINGUAL_SQL = _KG_CELLS_CTE + """
+, agg AS (SELECT i, SUM(2 * 3) AS n3 FROM cells GROUP BY i)
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       fam AS family, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT i, 'e0_lingual' AS fam, n3 AS n FROM agg
+  UNION ALL SELECT i, 'e0_tdl', n3 FROM agg
+  UNION ALL SELECT i, 'e1_lingual', n3 FROM agg
+  UNION ALL SELECT i, 'e1_tdl', n3 FROM agg
+)
+ORDER BY url, family
 """
 
 # kg_visual_feats oracle: per candidate, 13 visual keys per slot (12
@@ -1549,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ner_numbers": q_kg_ner_numbers,
         "kg_visual_align": q_kg_visual_align,
         "kg_visual_feats": q_kg_visual_feats,
+        "kg_features_lingual": q_kg_features_lingual,
         "kg_stream_mentions": q_kg_stream_mentions,
         "kg_nary": q_kg_nary,
         "kg_part_mentions": q_kg_part_mentions,
@@ -1608,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
         # pairs -> same count formula as the structural candidate query
         "kg_visual_align": _KG_CANDS_SQL.replace("n_candidates", "n"),
         "kg_visual_feats": _KG_VISUAL_FEATS_SQL,
+        "kg_features_lingual": _KG_FEATURES_LINGUAL_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
         "kg_nary": _KG_NARY_SQL,
         "kg_entities": _KG_ENTITIES_SQL,
