@@ -196,6 +196,77 @@ def encode_marked(marked: DataFrame, word2id: Dict[str, int]) -> DataFrame:
     return out
 
 
+def train_sequence_model(
+    marked: DataFrame,
+    marginals: DataFrame,
+    lr: float = 0.5,
+    epochs: int = 200,
+    l2: float = 1e-4,
+) -> Tuple[Dict[str, float], float]:
+    """Train a discriminative model over the FonduerDataset MARKED token
+    sequences (the input the reference feeds its LSTM, learning/task.py:
+    59-219). Env-honest architecture: torch/Emmental are absent, so this
+    is a mean-pooled token-bag classifier — equivalently an embedding-bag
+    model whose factorization E·w collapses to one scalar per vocabulary
+    token — trained driver-side on soft labels (the same collection point
+    as train_logreg). The ``~~[[i``/``i]]~~`` markers are ordinary
+    vocabulary tokens, so the model is relation-slot-aware exactly the way
+    the marking convention intends. Returns (token -> weight, bias)."""
+    m_cols = [c for c in marked.columns if c.endswith("_marked")]
+    rows = marked.select("candidate_sid", *m_cols).collect()
+    probs = {r.candidate_sid: float(r.prob)
+             for r in marginals.select("candidate_sid", "prob").collect()}
+    vocab: Dict[str, int] = {}
+    seqs: List[List[int]] = []
+    y: List[float] = []
+    for r in rows:
+        toks: List[str] = []
+        for c in m_cols:
+            toks.extend(r[c] or [])
+        seqs.append([vocab.setdefault(t, len(vocab)) for t in toks])
+        y.append(probs.get(r.candidate_sid, 0.5))
+    n, d = len(seqs), len(vocab)
+    yv = np.array(y)
+    w = np.zeros(d)
+    b = 0.0
+    flat = np.concatenate([np.array(s, dtype=np.int64) for s in seqs]) \
+        if seqs else np.array([], dtype=np.int64)
+    lens = np.array([max(1, len(s)) for s in seqs], dtype=np.int64)
+    row_ids = np.repeat(np.arange(n), [len(s) for s in seqs])
+    inv_len = 1.0 / lens
+    for _ in range(epochs):
+        z = b + np.bincount(row_ids, weights=w[flat], minlength=n) * inv_len
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - yv
+        gw = np.bincount(flat, weights=(g * inv_len)[row_ids], minlength=d)
+        w -= lr * (gw / max(n, 1) + l2 * w)
+        b -= lr * float(g.mean())
+    inv = {i: t for t, i in vocab.items()}
+    return {inv[i]: float(w[i]) for i in range(d)}, float(b)
+
+
+def score_sequences(marked: DataFrame, weights: Dict[str, float],
+                    bias: float) -> DataFrame:
+    """Distributed inference for the sequence model: broadcast the token
+    weight map; score = sigmoid(mean of per-token weights over all marked
+    slots + bias) — pure column expressions, no Python in the scoring
+    path (the same broadcast-map pattern as score_with_model)."""
+    m_cols = [c for c in marked.columns if c.endswith("_marked")]
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in weights]),
+        F.array(*[F.lit(float(v)) for v in weights.values()]),
+    )
+    toks = F.concat(*[F.col(c) for c in m_cols]) if len(m_cols) > 1 \
+        else F.col(m_cols[0])
+    total = F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0.0)),
+    )
+    z = total / F.greatest(F.size(toks), F.lit(1)) + F.lit(bias)
+    return marked.withColumn(
+        "model_prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
 def score_with_model(
     features: DataFrame, weights: Dict[str, float], bias: float
 ) -> DataFrame:

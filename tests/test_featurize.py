@@ -459,3 +459,25 @@ def test_fonduer_dataset_marking(spark, stages):
     small = {k: v for k, v in w2i.items() if k in ("<pad>", "<unk>", "~~[[0")}
     enc2 = encode_marked(marked, small).collect()[0]
     assert enc2.m0_ids[0] == small["~~[[0"] and enc2.m0_ids[1] == 1
+
+
+def test_sequence_model_learns_relation(spark, stages):
+    """The sequence model over marked tokens separates tmax candidates
+    (label-model prob 1.0) from tmin candidates (prob 1/3) — the sign
+    token in the marked object slot is the discriminative signal — and
+    distributed scoring agrees with the training-side probabilities."""
+    from fonduer_spark.labeling import with_marginals
+    from fonduer_spark.learning import (
+        marked_slot_tokens, score_sequences, train_sequence_model)
+    from fonduer_spark.pipeline import default_lfs
+
+    scored = with_marginals(stages["candidates"], default_lfs())
+    marked = marked_slot_tokens(scored, stages["sentences"])
+    w, b = train_sequence_model(marked, scored, epochs=300)
+    out = score_sequences(marked, w, b).join(
+        scored.select("candidate_sid", "prob"), "candidate_sid")
+    rows = out.select("model_prob", "prob").collect()
+    pos = [r.model_prob for r in rows if r.prob > 0.5]
+    neg = [r.model_prob for r in rows if r.prob <= 0.5]
+    assert pos and neg
+    assert min(pos) > max(neg)  # clean separation on the synthetic corpus
