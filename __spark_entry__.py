@@ -443,6 +443,55 @@ def q_kg_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch STREAMING exact-dedup, oracle-checked: documents (plus a
+    deterministic duplicate of doc_id < 100 re-keyed +1000000) written as a
+    multi-file drop, streamed 2 files per trigger through the
+    applyInPandasWithState dedup operator — duplicate content arriving in
+    LATER micro-batches still folds into the same state row — and the
+    final per-hash (count, first doc) recovered from the update-mode sink
+    matches the batch GROUP BY exactly."""
+    import os
+    import tempfile
+
+    from fonduer_spark.streaming import (
+        run_stream_updates_to_parquet, stream_dedup_state)
+
+    tmp = tempfile.mkdtemp(prefix="streamdedup_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    cp_dir = os.path.join(tmp, "cp")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    docs.unionByName(dups).repartition(8).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(in_dir)
+    )
+    run_stream_updates_to_parquet(stream_dedup_state(stream), out_dir, cp_dir)
+    sunk = spark.read.parquet(out_dir)
+    return (
+        sunk.groupBy("text_hash")
+        .agg(F.max("n_seen").cast("long").alias("n_docs"),
+             F.min("first_doc").cast("long").alias("first_doc"))
+        .orderBy("text_hash")
+    )
+
+
+_STREAM_DEDUP_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+)
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM all_docs GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_kg_nary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-ary (ternary) candidate extraction, oracle-checked: one
     (part, tmin, tmax) candidate per body row via extract_candidates_nary
@@ -1600,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_visual_feats": q_kg_visual_feats,
         "kg_features_lingual": q_kg_features_lingual,
         "kg_stream_mentions": q_kg_stream_mentions,
+        "stream_dedup": q_stream_dedup,
         "kg_nary": q_kg_nary,
         "kg_part_mentions": q_kg_part_mentions,
         "kg_candidates_per_doc": q_kg_candidates_per_doc,
@@ -1660,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_visual_feats": _KG_VISUAL_FEATS_SQL,
         "kg_features_lingual": _KG_FEATURES_LINGUAL_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
+        "stream_dedup": _STREAM_DEDUP_SQL,
         "kg_nary": _KG_NARY_SQL,
         "kg_entities": _KG_ENTITIES_SQL,
         "kg_part_mentions": _KG_PART_MENTIONS_SQL,

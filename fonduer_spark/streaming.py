@@ -96,6 +96,26 @@ def run_stream_to_parquet(stream_df: DataFrame, out_dir: str,
     return q
 
 
+def run_stream_updates_to_parquet(stream_df: DataFrame, out_dir: str,
+                                  checkpoint_dir: str,
+                                  await_termination: bool = True):
+    """Update-mode sink for stateful operators (the parquet file sink is
+    append-only, so each micro-batch's updated rows land via foreachBatch);
+    availableNow drains the backlog then stops."""
+    q = (
+        stream_df.writeStream
+        .foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def stateful_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-event_type running (count, sum) totals that persist across stream
@@ -138,6 +158,46 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup_state(docs: DataFrame) -> DataFrame:
+    """Cross-batch incremental EXACT-DEDUP via ``applyInPandasWithState``:
+    per content hash, state = (n_seen, first_doc_id) persists across
+    micro-batches through the state store — the ingest-time dedup a
+    100-TB crawl pipeline runs in front of parsing (a duplicate arriving
+    three days later still hits the same state row). Each trigger emits
+    the group's cumulative (text_hash, n_seen, first_doc); reading the
+    update-mode sink back, max(n_seen)/min(first_doc) per key recover the
+    final state deterministically regardless of micro-batch slicing.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = docs.select(F.md5(F.col("text")).alias("text_hash"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+    out_schema = T.StructType([
+        T.StructField("text_hash", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("first_doc", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("first", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        n, first = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            lo = int(pdf["doc_id"].min())
+            first = lo if first is None else min(first, lo)
+        state.update((n, first))
+        yield pd.DataFrame({
+            "text_hash": [key[0]], "n_seen": [n], "first_doc": [first],
+        })
+
+    return keyed.groupBy("text_hash").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
