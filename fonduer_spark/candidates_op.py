@@ -247,6 +247,22 @@ def same_sentence(_df: DataFrame = None) -> Column:
     return F.col("a_sentence_sid") == F.col("b_sentence_sid")
 
 
+def write_bucketed_mentions(mentions: DataFrame, table: str,
+                            buckets: int = 32) -> None:
+    """Persist mentions BUCKETED by url so candidate joins are co-located:
+    both sides of the document-local equi-join scan matching buckets and
+    Catalyst plans the join with NO shuffle exchange (asserted in
+    tests/test_plans.py). The 100-TB layout for iterative candidate
+    extraction over a fixed corpus — write the mention table once, run
+    every relation's join shuffle-free against it (the storage-side
+    complement of AQE/salting, which handle the ad-hoc case)."""
+    (
+        mentions.write.mode("overwrite")
+        .bucketBy(buckets, "url").sortBy("url")
+        .format("parquet").saveAsTable(table)
+    )
+
+
 def extract_candidates_nary(
     mentions: DataFrame,
     candidate_type: str,

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import re
 import shutil
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 

@@ -126,3 +126,32 @@ def test_embcos_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # and the bucket computation is JVM-side (no Python stage at all)
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_mention_join_no_shuffle(spark):
+    """write_bucketed_mentions: the candidate equi-join over a url-bucketed
+    mention table plans WITHOUT shuffle exchanges — both sides scan
+    co-located buckets (the write-once join-many layout for 100 TB)."""
+    from fonduer_spark.candidates_op import write_bucketed_mentions
+    from fonduer_spark.pipeline import default_mention_specs
+    from fonduer_spark.corpus import load_docs
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from pyspark.sql import functions as F
+
+    mentions = extract_mentions_fused(
+        load_docs(spark, SF, max_docs=20), default_mention_specs())
+    write_bucketed_mentions(mentions, "bucketed_mentions_test", buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table("bucketed_mentions_test")
+        a = t.where(F.col("mention_type") == "part").alias("a")
+        b = t.where(F.col("mention_type") == "temp").alias("b")
+        joined = a.join(b, F.col("a.url") == F.col("b.url"))
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located bucket scans, no shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bucketed_mentions_test")
