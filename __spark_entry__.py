@@ -6,9 +6,11 @@ queries()/oracle_sql() -> one entry per implemented operator family:
                   candidates -> label -> triples) over the arithmetic-
                   deterministic synthetic corpus; the oracle reconstructs
                   expected outputs from the corpus formulas in pure SQL.
-  - dedup_*     : exact / MinHash / n-gram-Jaccard / SimHash dedup.
+  - dedup_*     : exact / MinHash / n-gram-Jaccard / SimHash / embedding-LSH
+                  dedup (+ stream_dedup: cross-batch stateful streaming).
   - text_*      : token counting, quality scoring, language-ID, fingerprints.
-  - sim_*       : cosine top-k (exact) + LSH-bucketed ANN (approx, rows-only).
+  - sim_*       : cosine top-k (exact) + LSH-bucketed ANN (approximate but
+                  deterministic — the oracle reproduces the buckets).
   - mm_*        : multimodal binary-column plumbing.
   - rel_*       : classic relational operators (SURVEY.md §2.10 checklist):
                   scan/filter/agg/join/window/set-op/sort-limit.

@@ -269,24 +269,34 @@ def extract_candidates_nary(
     types: "list[str]",
     throttler: Optional[ColumnThrottler] = None,
     split: int = 0,
+    nullables: Optional["list[bool]"] = None,
 ) -> DataFrame:
     """Higher-order (n-ary) candidate extraction: iterative document-local
     equi-joins, one per slot. The reference only implements the
     self/nested/symmetric filters for binary relations
     (candidates.py:290-291 'TODO: Make this work for higher-order
-    relations'); this engine mirrors that: n-ary applies the throttler only.
+    relations'); this engine mirrors that: n-ary applies the throttler only
+    (a ``nullables`` slot adds its per-document None option exactly as in
+    the binary path; with no arity-2 filters nothing drops the all-null
+    tuple — matching the reference, where only the throttler sees it).
 
     Slots are prefixed m0_, m1_, ... ; candidate_sid is the '~~'-joined
     tuple of slot stable_ids (the reference's stable-id-tuple identity,
-    utils/utils.py:51-69).
+    utils/utils.py:51-69), 'NULL' for a null slot.
     """
+    nullables = nullables or [False] * len(types)
+
     def prefixed(df: DataFrame, i: int) -> DataFrame:
         return df.select(
             [F.col(c).alias(f"m{i}_{c}") for c in MENTION_COLUMNS])
 
     out = None
     for i, t in enumerate(types):
-        side = prefixed(mentions.where(F.col("mention_type") == t), i)
+        typed = mentions.where(F.col("mention_type") == t)
+        side = prefixed(typed, i)
+        if nullables[i]:
+            side = side.unionByName(
+                _null_slot_rows(mentions, typed, f"m{i}_", need_idx=False))
         if out is None:
             out = side
         else:
@@ -297,6 +307,7 @@ def extract_candidates_nary(
         out.withColumn("candidate_type", F.lit(candidate_type))
         .withColumn("split", F.lit(split))
         .withColumn("candidate_sid", F.concat_ws(
-            "~~", *[F.col(f"m{i}_stable_id") for i in range(len(types))]))
+            "~~", *[F.coalesce(F.col(f"m{i}_stable_id"), F.lit("NULL"))
+                    for i in range(len(types))]))
         .withColumn("url", F.col("m0_url"))
     )

@@ -253,3 +253,28 @@ def test_nullable_slot_candidates(spark, mentions_df):
     # non-nullable call sites are untouched (default path identical)
     assert base.count() == extract_candidates(
         mentions, "pt", "A", "B", nullables=(False, False)).count()
+
+
+def test_nary_nullable_slot(spark, mentions_df):
+    """N-ary nullables: a nullable slot adds the per-document None option
+    to the product; no arity-2 filters apply (reference TODO), so counts
+    are exact products."""
+    from fonduer_spark.candidates_op import extract_candidates_nary
+
+    base = extract_candidates_nary(mentions_df, "abb", ["A", "B", "B"])
+    nb = extract_candidates_nary(mentions_df, "abb", ["A", "B", "B"],
+                                 nullables=[False, False, True])
+    # per doc: + |A| * |B| tuples with m2 = None
+    extra = (
+        mentions_df.where(F.col("mention_type") == "A")
+        .groupBy("url").count().withColumnRenamed("count", "na")
+        .join(
+            mentions_df.where(F.col("mention_type") == "B")
+            .groupBy("url").count().withColumnRenamed("count", "nb"),
+            "url")
+        .selectExpr("sum(na * nb) AS s").first().s
+    )
+    assert nb.count() == base.count() + extra
+    nulls = nb.where(F.col("m2_stable_id").isNull())
+    assert nulls.count() == extra
+    assert nulls.first().candidate_sid.endswith("~~NULL")
