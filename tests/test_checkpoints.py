@@ -101,3 +101,31 @@ def test_keyed_merge_incremental(spark, tmp_path):
     # and the latest snapshot is a new id (copy-on-write, time travel kept)
     assert t.latest().snapshot_id == 3
     assert t.read(spark, 1).count() == m3.count()
+
+
+def test_upsert_stage_incremental_pipeline(spark, tmp_path):
+    """CheckpointedPipeline.upsert_stage: a stage committed for docs 0-2
+    incrementally absorbs doc 3's rows (only the new doc computed) and the
+    lineage records the upsert event."""
+    from pyspark.sql import functions as F
+
+    from fonduer_spark.checkpoints import CheckpointedPipeline
+    from fonduer_spark.corpus import load_docs
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.pipeline import default_mention_specs
+
+    specs = default_mention_specs()
+    cp = CheckpointedPipeline(spark, str(tmp_path), "sig1")
+    cp.stage("mentions", lambda: extract_mentions_fused(
+        load_docs(spark, SF, max_docs=3), specs))
+    merged = cp.upsert_stage(
+        "mentions",
+        lambda: extract_mentions_fused(
+            load_docs(spark, SF, max_docs=4).where(F.col("doc_id") == 3),
+            specs),
+        keys=["stable_id"],
+    )
+    full = extract_mentions_fused(load_docs(spark, SF, max_docs=4), specs)
+    assert merged.count() == full.count()
+    kinds = [e[0] for e in cp.events]
+    assert kinds == ["compute", "upsert"]

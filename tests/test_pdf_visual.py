@@ -91,3 +91,39 @@ def test_attach_pdf_coordinates_cogrouped(spark):
     assert out["d1::s1"].page == [1]
     assert out["d1::s1"].left == [70]          # linked to '85.' bbox
     assert out["d2::s0"].top == [5]            # per-doc isolation
+
+
+def test_link_word_lists_property():
+    """Property: for any token sequence and any light perturbation of it
+    (suffix punctuation glued on, occasional typo), the 3-pass linker is
+    total and links every unperturbed unique token exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tokens = st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=6),
+        min_size=1, max_size=40)
+
+    @settings(max_examples=40, deadline=None)
+    @given(tokens, st.randoms(use_true_random=False))
+    def prop(toks, rnd):
+        pdf = []
+        for t in toks:
+            r = rnd.random()
+            if r < 0.15:
+                pdf.append(t + ".")      # glued punctuation
+            elif r < 0.25:
+                pdf.append(("x" + t[1:]) if len(t) > 1 else t)  # typo
+            else:
+                pdf.append(t)
+        links = link_word_lists(toks, pdf, search_max=10)
+        assert len(links) == len(toks)
+        assert all(0 <= k < len(pdf) for k in links)
+        # unique & unperturbed tokens must link to themselves
+        from collections import Counter
+        ch, cp = Counter(toks), Counter(pdf)
+        for i, t in enumerate(toks):
+            if ch[t] == 1 and cp[t] == 1 and pdf[i] == t:
+                assert pdf[links[i]] == t
+
+    prop()
