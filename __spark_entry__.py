@@ -1066,6 +1066,17 @@ def _duck_list(vals) -> str:
     return "[" + ", ".join(str(v) for v in vals) + "]"
 
 
+def _duck_dot(a: str, b: str) -> str:
+    """Sequential-fold dot product: bit-identical to Spark's
+    F.aggregate(zip_with(a, b, *), 0.0, +) left fold. DuckDB's built-in
+    list_dot_product accumulates in a different order and drifts by 1 ulp
+    on ~1e-5 of pairs — enough to flip a 6-decimal rounding (observed at
+    sf0.1); list_reduce folds left-to-right like Spark, and IEEE754 makes
+    identical op order => identical bits."""
+    return (f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a})[i] * ({b})[i]), (x, y) -> x + y)")
+
+
 def _duck_bucket(n_planes: int, prefix: str, dim: int = 64,
                  vec: str = "v") -> str:
     """DuckDB expression for the md5-Rademacher sign bucket — the exact
@@ -1075,7 +1086,7 @@ def _duck_bucket(n_planes: int, prefix: str, dim: int = 64,
 
     planes = rademacher_planes(dim, n_planes, prefix)
     return " + ".join(
-        f"(CASE WHEN list_dot_product({vec}, {_duck_list(p)}) > 0 "
+        f"(CASE WHEN {_duck_dot(vec, _duck_list(p))} > 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(planes)
     )
@@ -1095,9 +1106,9 @@ pairs AS (
 ),
 v AS (
   SELECT a, b,
-    round(list_dot_product(ea.v, eb.v) /
-          (sqrt(list_dot_product(ea.v, ea.v)) *
-           sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+    round({_duck_dot('ea.v', 'eb.v')} /
+          (sqrt({_duck_dot('ea.v', 'ea.v')}) *
+           sqrt({_duck_dot('eb.v', 'eb.v')})), 6) AS cos
   FROM pairs JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
 )
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, cos
@@ -1309,9 +1320,9 @@ WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         round(list_dot_product(q.qv, c.cv) /
-               (sqrt(list_dot_product(q.qv, q.qv)) *
-                sqrt(list_dot_product(c.cv, c.cv))), 6) AS score
+         round({_duck_dot('q.qv', 'c.cv')} /
+               (sqrt({_duck_dot('q.qv', 'q.qv')}) *
+                sqrt({_duck_dot('c.cv', 'c.cv')})), 6) AS score
   FROM q, c WHERE c.vec_id <> q.query_id
 ),
 ranked AS (
@@ -1332,9 +1343,9 @@ q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
       WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         round(list_dot_product(q.qv, c.v) /
-               (sqrt(list_dot_product(q.qv, q.qv)) *
-                sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         round({_duck_dot('q.qv', 'c.v')} /
+               (sqrt({_duck_dot('q.qv', 'q.qv')}) *
+                sqrt({_duck_dot('c.v', 'c.v')})), 6) AS score
   FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.query_id
 ),
 ranked AS (

@@ -83,6 +83,7 @@ class CandidateExtractor:
         self_relations: bool = False,
         nested_relations: bool = False,
         symmetric_relations: bool = True,
+        nullables: Optional[Sequence] = None,
     ) -> None:
         self.spark = spark
         self.types = list(candidate_types)
@@ -90,6 +91,13 @@ class CandidateExtractor:
         if len(self.throttlers) != len(self.types):
             raise ValueError(
                 "Provided different number of throttlers and candidate classes."
+            )
+        # per candidate class, a (bool, bool) like the reference
+        # candidate_subclass nullables (candidate.py:100-102)
+        self.nullables = list(nullables or [(False, False)] * len(self.types))
+        if len(self.nullables) != len(self.types):
+            raise ValueError(
+                "Provided different number of nullables and candidate classes."
             )
         self.flags = dict(
             self_relations=self_relations,
@@ -99,12 +107,13 @@ class CandidateExtractor:
 
     def apply(self, mentions: DataFrame, split: int = 0) -> DataFrame:
         out = None
-        for (name, ta, tb), thr in zip(self.types, self.throttlers):
+        for (name, ta, tb), thr, nls in zip(self.types, self.throttlers,
+                                            self.nullables):
             kind = "column" if thr is None or _is_column_throttler(thr) \
                 else "pandas"
             c = extract_candidates(
                 mentions, name, ta, tb, throttler=thr, throttler_kind=kind,
-                split=split, **self.flags,
+                split=split, nullables=tuple(nls), **self.flags,
             )
             out = c if out is None else out.unionByName(c)
         return out

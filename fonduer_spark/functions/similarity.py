@@ -23,8 +23,13 @@ from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
+    # widen to double BEFORE multiplying: float32 products differ from the
+    # oracle's double products by an ulp on ~1e-5 of pairs — enough to flip
+    # a 6-decimal rounding. With double muls + the sequential left fold,
+    # Spark and DuckDB's list_reduce produce bit-identical sums.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                   lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
