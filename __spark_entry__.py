@@ -1178,6 +1178,36 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSITE training-data curation pass, oracle-checked: quality
+    stats + language-ID + exact-dedup canonicalization composed into the
+    one filter a pretraining pipeline runs per document — keep docs with
+    >= 30 tokens, stopword_ratio >= 0.02, detected-English, and drop
+    non-canonical exact duplicates. One relational plan: two aggregations
+    + a broadcast anti-join; every predicate a column expression."""
+    docs = _docs(spark, sf_dir)
+    q = ts.quality_stats(docs)
+    lang = docs.select("doc_id", ts.lang_id(F.col("text")).alias("lg"))
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    dups = dd.exact_duplicates(docs)
+    noncanon = (
+        hashed.join(dups, "text_hash")
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    return (
+        q.join(lang, "doc_id")
+        .where(
+            (F.col("n_tokens") >= 30)
+            & (F.col("stopword_ratio") >= 0.02)
+            & (F.col("lg") == "en")
+        )
+        .join(F.broadcast(noncanon), "doc_id", "left_anti")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-token ratio, top-bigram
     fraction) — relational bigram census, not per-row O(n^2)."""
@@ -1248,6 +1278,35 @@ _BPE_TOKENS_SQL = f"""
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{ts.BPE_ISH_RGX}')) AS BIGINT) AS n_bpe
 FROM documents ORDER BY doc_id
+"""
+
+_TEXT_CURATE_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+    round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+          ELSE len(list_filter({_LTOKS}, x -> x IN ({_SW}))) / len({_TOKS}) END, 6)
+      AS stopword_ratio,
+    {_marker_sql(ts.LANG_MARKERS['en'])} AS s_en,
+    {_marker_sql(ts.LANG_MARKERS['es'])} AS s_es,
+    {_marker_sql(ts.LANG_MARKERS['de'])} AS s_de,
+    {_marker_sql(ts.LANG_MARKERS['fr'])} AS s_fr,
+    md5(text) AS text_hash
+  FROM documents
+),
+dups AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id
+  FROM documents GROUP BY 1 HAVING count(*) > 1
+),
+noncanon AS (
+  SELECT doc_id FROM q JOIN dups USING (text_hash)
+  WHERE doc_id <> canonical_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM q
+WHERE n_tokens >= 30 AND stopword_ratio >= 0.02
+  AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0
+  AND doc_id NOT IN (SELECT doc_id FROM noncanon)
+ORDER BY doc_id
 """
 
 _REPETITION_SQL = f"""
@@ -1686,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_repetition": q_text_repetition,
+        "text_curate": q_text_curate,
         # similarity family
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1743,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_bpe_tokens": _BPE_TOKENS_SQL,
         "text_repetition": _REPETITION_SQL,
+        "text_curate": _TEXT_CURATE_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_ann_lsh": _SIM_ANN_LSH_SQL,
         "mm_meta": _MM_META_SQL,
