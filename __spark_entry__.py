@@ -1670,6 +1670,58 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls
 """
 
 
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+_REL_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls
+"""
+
+
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (orders count per status x priority) — expressed as
+    conditional aggregation so the plan is one groupBy, no special
+    operator needed at scale."""
+    o = _t(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pris)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[F.coalesce(F.col(p), F.lit(0)).cast("long").alias(f"p{i + 1}")
+              for i, p in enumerate(pris)],
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_REL_PIVOT_SQL = """
+SELECT o_orderstatus,
+  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+  CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+  CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_rel_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS: customers with no order above 100k."""
     c = _t(spark, sf_dir, "customer")
@@ -1763,6 +1815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semijoin": q_rel_semijoin,
         "rel_json": q_rel_json,
         "rel_rollup": q_rel_rollup,
+        "rel_cube": q_rel_cube,
+        "rel_pivot": q_rel_pivot,
         "rel_antijoin": q_rel_antijoin,
     }
 
@@ -1818,6 +1872,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_semijoin": _REL_SEMIJOIN_SQL,
         "rel_json": _REL_JSON_SQL,
         "rel_rollup": _REL_ROLLUP_SQL,
+        "rel_cube": _REL_CUBE_SQL,
+        "rel_pivot": _REL_PIVOT_SQL,
         "rel_antijoin": _REL_ANTIJOIN_SQL,
         # rows-only (non-SQL-expressible by design):
         # kg_features, dedup_simhash, sim_ann_lsh
