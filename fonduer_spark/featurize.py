@@ -736,12 +736,22 @@ def featurize(
 
     slots = _slot_prefixes(candidates.columns)
     df = candidates
-    have_words = False
-    if sentences is not None and ("textual" in libs or "lingual" in libs):
-        sent = (
+    if sentences is not None:
+        # One materialization of the sentence slice, reused by EVERY join
+        # branch below (slot joins, the three tabular vocabularies, the
+        # visual alignment groups). Without this, Catalyst re-executes the
+        # parse's Python stage once per branch — it cannot common-
+        # subexpression-eliminate MapInPandas subtrees (measured: the
+        # kg_features plan held 26 MapInPandas stages, i.e. ~10 full
+        # corpus re-parses). MEMORY_AND_DISK, so at scale it spills
+        # instead of recomputing.
+        sentences = (
             sentences.where(F.col("ctx_type") == "sentence")
             if "ctx_type" in sentences.columns else sentences
-        )
+        ).persist()
+    have_words = False
+    if sentences is not None and ("textual" in libs or "lingual" in libs):
+        sent = sentences
         for p in slots:
             slim = sent.select(
                 F.col("stable_id").alias(f"{p}sentence_sid"),
