@@ -84,6 +84,42 @@ class FonduerPipelineModel:
         return sorted((s, p, o, pr) for (s, p, o), pr in out.items())
 
 
+def save_model(model: FonduerPipelineModel, path: str) -> None:
+    """Persist a serving model to a directory — the engine's
+    fonduer_model.save_model (packaging/fonduer_model.py:235-346): the
+    mention specs, candidate config and LFs serialize via cloudpickle
+    (pyspark's vendored fork, so closures and lambdas survive — the same
+    serializer every Spark python task already depends on), next to a
+    meta.json the loader validates."""
+    import json
+    import os
+
+    from pyspark import cloudpickle
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "model.pkl"), "wb") as f:
+        cloudpickle.dump(model, f)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"engine": "fonduer_spark", "format": 1,
+                   "candidate_type": model.candidate_type,
+                   "pred": model.pred}, f)
+
+
+def load_model(path: str) -> FonduerPipelineModel:
+    """Load a model saved by save_model (fonduer_model._load_pyfunc)."""
+    import json
+    import os
+
+    from pyspark import cloudpickle
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("engine") != "fonduer_spark":
+        raise ValueError(f"not a fonduer_spark model: {meta}")
+    with open(os.path.join(path, "model.pkl"), "rb") as f:
+        return cloudpickle.load(f)
+
+
 def build_default_model() -> FonduerPipelineModel:
     """The flagship relation as a serving model — the same LFs as
     pipeline.default_lfs, expressed as python fns over the candidate row."""

@@ -71,3 +71,26 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert joined.count() == docs.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_model_save_load_roundtrip(tmp_path):
+    """save_model/load_model (reference fonduer_model packaging): the
+    reloaded model — closures, compiled regexes and all — classifies a
+    fresh document identically to the original."""
+    from fonduer_spark.corpus import render_page, url_of
+    from fonduer_spark.serve import build_default_model, load_model, save_model
+
+    m = build_default_model()
+    save_model(m, str(tmp_path / "model"))
+    m2 = load_model(str(tmp_path / "model"))
+    html = render_page(7, "gamma delta epsilon")
+    assert m2.classify(url_of(7), html) == m.classify(url_of(7), html)
+    assert m2.pred == m.pred and m2.candidate_type == m.candidate_type
+    import pytest
+
+    with pytest.raises(ValueError):
+        import json, os
+        bad = tmp_path / "bad"
+        os.makedirs(bad)
+        json.dump({"engine": "other"}, open(bad / "meta.json", "w"))
+        load_model(str(bad))
