@@ -314,6 +314,16 @@ def _dep_path_binary(row: dict) -> Iterator[str]:
     yield f"DEP_PATH_[{up}]_[{down}]"
     if 0 <= lca < len(lemmas) and lemmas[lca]:
         yield f"DEP_LCA_LEMMA_[{lemmas[lca].lower()}]"
+    # lemma 1..3-grams along the BETWEEN path a-head -> lca -> b-head
+    # (the reference's TDL relation templates emit attribute ngrams over
+    # the dependency path between the mentions,
+    # compile_relation_feature_generator / treedlib Between(m0, m1))
+    between = pa[:lca_depth_a] + [lca] + list(reversed(pb[:lca_depth_b]))
+    path_lemmas = [lemmas[t].lower() for t in between
+                   if 0 <= t < len(lemmas) and lemmas[t]]
+    for n in range(1, min(3, len(path_lemmas)) + 1):
+        for s in range(len(path_lemmas) - n + 1):
+            yield f"TDL_BETWEEN_LEMMA_[{' '.join(path_lemmas[s:s + n])}]"
 
 
 def _visual_unary(row: dict, prefix: str) -> Iterator[str]:

@@ -301,6 +301,11 @@ def test_dep_path_binary_features(spark):
     # a head = PN10A (the LCA itself): empty up-path; b head = 85 -> rated
     assert "DEP_PATH_[]_[acl/num]" in keys
     assert "DEP_LCA_LEMMA_[pn10a]" in keys
+    # between-path lemma ngrams (a-head -> lca -> b-head = pn10a rate 85)
+    assert {"TDL_BETWEEN_LEMMA_[pn10a]", "TDL_BETWEEN_LEMMA_[rate]",
+            "TDL_BETWEEN_LEMMA_[85]", "TDL_BETWEEN_LEMMA_[pn10a rate]",
+            "TDL_BETWEEN_LEMMA_[rate 85]",
+            "TDL_BETWEEN_LEMMA_[pn10a rate 85]"} <= keys
 
 
 def test_multinary_feature_extraction(spark, stages):
