@@ -155,3 +155,16 @@ def test_bucketed_mention_join_no_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bucketed_mentions_test")
+
+
+def test_featurize_caches_sentence_slice(spark):
+    """featurize must feed every join branch from ONE cached sentence
+    slice (Catalyst cannot CSE MapInPandas subtrees; without the persist
+    the corpus parse re-executes ~10x — measured 1.5-1.7x wall)."""
+    from fonduer_spark.featurize import featurize
+    from fonduer_spark.pipeline import kg_stages
+
+    st = kg_stages(spark, SF, max_docs=5)
+    plan = plan_of(featurize(st["candidates"], st["sentences"]))
+    assert "InMemoryTableScan" in plan
+    st["mentions"].unpersist()
