@@ -414,6 +414,81 @@ def q_kg_visual_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "family")
 
 
+def q_kg_visual_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LF-helper page percentiles, oracle-checked: the hOCR pipeline's
+    candidates mapped through get_page_vert_percentile (subject slot) and
+    get_page_horz_percentile (object slot) — reference
+    utils/data_model_utils/visual.py:295-381 as column expressions — then
+    censused per (url, rounded pct pair). Deterministic: each percentile is
+    ONE IEEE division of exact ints (word k of body row r sits at
+    x0=100k+10, y0=20r+10 by the render_hocr arithmetic; page dims are the
+    reference's Letter 612x792 defaults), and no 6-dp rounding boundary is
+    reachable for denominators 612/792 (no solution to K*1e6 === d/2 mod d),
+    so Spark and DuckDB round identically."""
+    from fonduer_spark.candidates_op import extract_candidates
+    from fonduer_spark.corpus import load_docs, render_hocr
+    from fonduer_spark.data_model_utils import (
+        get_page_horz_percentile, get_page_vert_percentile, is_horz_aligned,
+        same_page)
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.parse import ParseConfig
+    from fonduer_spark.pipeline import default_mention_specs
+    from fonduer_spark.sources import rewrite_hocr
+
+    docs = load_docs(spark, sf_dir)
+    mentions = extract_mentions_fused(
+        docs, default_mention_specs(),
+        render=lambda i, text: rewrite_hocr(render_hocr(int(i))),
+        parse_cfg=ParseConfig(visual="hocr"),
+    )
+    cands = extract_candidates(
+        mentions, "part_temp_visual", "part", "temp",
+        throttler=lambda df: same_page() & is_horz_aligned(),
+        throttler_kind="column",
+    )
+    return (
+        cands.select(
+            "url",
+            F.round(get_page_vert_percentile("a_"), 6).alias("vert_pct"),
+            F.round(get_page_horz_percentile("b_"), 6).alias("horz_pct"),
+        )
+        .groupBy("url", "vert_pct", "horz_pct")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("url", "vert_pct", "horz_pct")
+    )
+
+
+def q_kg_rowcol_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LF-helper tabular extrema, oracle-checked: the structural pipeline's
+    candidates mapped through get_{min,max}_{row,col}_num (reference
+    utils/data_model_utils/tabular.py:103-168, tested at
+    tests/utils/data_model_utils/test_tabular.py:127-139) as column
+    expressions, integer-summed per url (exact arithmetic: part sits at
+    (r+1, 0), tmin at col 1, tmax at col 2; the header is row 0)."""
+    scored = kg_stages(spark, sf_dir)["candidates"]
+    from fonduer_spark.data_model_utils import (
+        get_max_col_num, get_max_row_num, get_min_col_num, get_min_row_num)
+
+    return (
+        scored.select(
+            "url",
+            get_min_row_num("a_").alias("rmin"),
+            get_max_row_num("a_").alias("rmax"),
+            get_min_col_num("b_").alias("cmin"),
+            get_max_col_num("b_").alias("cmax"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rmin").cast("long").alias("sum_row_min"),
+            F.sum("rmax").cast("long").alias("sum_row_max"),
+            F.sum("cmin").cast("long").alias("sum_col_min"),
+            F.sum("cmax").cast("long").alias("sum_col_max"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_kg_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING engine path, oracle-checked: web pages written as a
     parquet drop, readStream -> the same fused parse+mention stage
@@ -598,6 +673,32 @@ SELECT part, CAST(count(*) AS BIGINT) AS n FROM (
 _KG_CANDS_SQL = _KG_CELLS_CTE + """
 SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
        CAST(2 * count(*) AS BIGINT) AS n_candidates
+FROM cells GROUP BY i ORDER BY url
+"""
+
+# kg_visual_percentile oracle: two candidates per body row r — (part, tmin)
+# and (part, tmax); the subject's bbox top is 20r+10, the object's left edge
+# is 110 (tmin, word 1) or 210 (tmax, word 2) by the render_hocr arithmetic;
+# percentiles divide by the reference's Letter-page defaults 792/612.
+_KG_VISUAL_PCT_SQL = _KG_CELLS_CTE + """
+, slots AS (SELECT i, r, unnest([110, 210]) AS bleft FROM cells)
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       round((20*r + 10) / 792.0, 6) AS vert_pct,
+       round(bleft / 612.0, 6) AS horz_pct,
+       CAST(count(*) AS BIGINT) AS n
+FROM slots GROUP BY 1, 2, 3 ORDER BY url, vert_pct, horz_pct
+"""
+
+# kg_rowcol_minmax oracle: per body row r, two candidates whose subject cell
+# sits at (row r+1, col 0) and whose object cell at cols 1 (tmin) and 2
+# (tmax); no mention-bearing cell spans rows/cols, so min == max.
+_KG_ROWCOL_MINMAX_SQL = _KG_CELLS_CTE + """
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       CAST(2 * count(*) AS BIGINT) AS n,
+       CAST(SUM(2 * (r + 1)) AS BIGINT) AS sum_row_min,
+       CAST(SUM(2 * (r + 1)) AS BIGINT) AS sum_row_max,
+       CAST(SUM(3) AS BIGINT) AS sum_col_min,
+       CAST(SUM(3) AS BIGINT) AS sum_col_max
 FROM cells GROUP BY i ORDER BY url
 """
 
@@ -1771,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ner_numbers": q_kg_ner_numbers,
         "kg_visual_align": q_kg_visual_align,
         "kg_visual_feats": q_kg_visual_feats,
+        "kg_visual_percentile": q_kg_visual_percentile,
+        "kg_rowcol_minmax": q_kg_rowcol_minmax,
         "kg_features_lingual": q_kg_features_lingual,
         "kg_stream_mentions": q_kg_stream_mentions,
         "stream_dedup": q_stream_dedup,
@@ -1835,6 +1938,8 @@ def oracle_sql() -> dict[str, str]:
         # pairs -> same count formula as the structural candidate query
         "kg_visual_align": _KG_CANDS_SQL.replace("n_candidates", "n"),
         "kg_visual_feats": _KG_VISUAL_FEATS_SQL,
+        "kg_visual_percentile": _KG_VISUAL_PCT_SQL,
+        "kg_rowcol_minmax": _KG_ROWCOL_MINMAX_SQL,
         "kg_features_lingual": _KG_FEATURES_LINGUAL_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
@@ -1875,6 +1980,4 @@ def oracle_sql() -> dict[str, str]:
         "rel_cube": _REL_CUBE_SQL,
         "rel_pivot": _REL_PIVOT_SQL,
         "rel_antijoin": _REL_ANTIJOIN_SQL,
-        # rows-only (non-SQL-expressible by design):
-        # kg_features, dedup_simhash, sim_ann_lsh
     }

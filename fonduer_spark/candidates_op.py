@@ -51,7 +51,15 @@ def _null_slot_rows(mentions: DataFrame, typed: DataFrame, prefix: str,
     (candidate.py:77-136, candidates.py:263-274): every document's product
     gains the null option for that slot. The null 'mention' enumerates
     LAST in document order, so its mention_idx is the per-doc count of
-    that type's mentions (enumerate() index of the appended None)."""
+    that type's mentions (enumerate() index of the appended None).
+
+    Documented divergence: the url universe is derived from the mentions
+    frame, so a document with ZERO mentions of ANY type contributes no
+    null-slot rows. The reference appends [None] per document regardless
+    and would emit an all-null tuple for such a doc under
+    self_relations=True (candidates.py:263-306); with the default
+    self_relations=False both engines drop it (null-safe a==b), so the
+    outputs only differ for empty documents in the non-default mode."""
     types = dict(zip(mentions.schema.names,
                      [f.dataType for f in mentions.schema.fields]))
     urls = mentions.select("url").distinct()

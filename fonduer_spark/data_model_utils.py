@@ -335,6 +335,94 @@ def with_vert_ngrams(candidates: DataFrame, sentences: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# tabular position helpers (reference utils/data_model_utils/tabular.py:
+# 103-168, tested at tests/utils/data_model_utils/test_tabular.py:127-139).
+# The candidate frame denormalizes each slot's cell coordinates, so these
+# are column aliases: null when the slot's sentence is not tabular (the
+# coordinate columns are null there), exactly the reference's None return.
+# Reference default for candidates: min helpers read the FIRST mention
+# (idx=0), max helpers the LAST (idx=-1) — here the caller names the slot.
+# ---------------------------------------------------------------------------
+def get_min_row_num(slot: str = "a_") -> Column:
+    """Lowest row number the slot's mention occupies (tabular.py:148-160)."""
+    return F.col(f"{slot}row_start")
+
+
+def get_max_row_num(slot: str = "b_") -> Column:
+    """Largest row number the slot's mention occupies (tabular.py:133-145) —
+    row_end differs from row_start only for rowspan-resolved cells."""
+    return F.col(f"{slot}row_end")
+
+
+def get_min_col_num(slot: str = "a_") -> Column:
+    """Lowest column number the slot's mention occupies (tabular.py:118-130)."""
+    return F.col(f"{slot}col_start")
+
+
+def get_max_col_num(slot: str = "b_") -> Column:
+    """Largest column number the slot's mention occupies (tabular.py:103-115)
+    — col_end differs from col_start only for colspan-resolved cells."""
+    return F.col(f"{slot}col_end")
+
+
+# ---------------------------------------------------------------------------
+# page-percentile helpers (reference utils/data_model_utils/visual.py:
+# 290-381). Default page dims are the reference's Letter pt values.
+# ---------------------------------------------------------------------------
+DEFAULT_WIDTH = 612
+DEFAULT_HEIGHT = 792
+
+
+def get_page_vert_percentile(slot: str = "a_",
+                             page_width: int = DEFAULT_WIDTH,
+                             page_height: int = DEFAULT_HEIGHT) -> Column:
+    """Fraction of the page above the slot's bbox top: 0.0 at the top of the
+    page, 1.0 at the bottom (reference get_page_vert_percentile,
+    visual.py:295-337 — ``bbox.top / page_height``). Null when the slot has
+    no visual info."""
+    return F.col(f"{slot}top") / F.lit(float(page_height))
+
+
+def get_page_horz_percentile(slot: str = "a_",
+                             page_width: int = DEFAULT_WIDTH,
+                             page_height: int = DEFAULT_HEIGHT) -> Column:
+    """Fraction of the page left of the slot's bbox left edge (reference
+    get_page_horz_percentile, visual.py:340-381 — ``bbox.left /
+    page_width``)."""
+    return F.col(f"{slot}left") / F.lit(float(page_width))
+
+
+# ---------------------------------------------------------------------------
+# reference-parity stubs: these five are unimplemented TODO stubs in the
+# reference itself (visual.py:260-287 — each returns None), so parity is a
+# documented no-op, kept so LF modules importing the full surface load.
+# ---------------------------------------------------------------------------
+def get_vert_ngrams_left(c=None):
+    """Not implemented in the reference (visual.py:260-263)."""
+    return None
+
+
+def get_vert_ngrams_right(c=None):
+    """Not implemented in the reference (visual.py:266-269)."""
+    return None
+
+
+def get_vert_ngrams_center(c=None):
+    """Not implemented in the reference (visual.py:272-275)."""
+    return None
+
+
+def get_visual_header_ngrams(c=None, axis=None):
+    """Not implemented in the reference (visual.py:278-281)."""
+    return None
+
+
+def get_visual_distance(c=None, axis=None):
+    """Not implemented in the reference (visual.py:284-287)."""
+    return None
+
+
+# ---------------------------------------------------------------------------
 # 3. row-level python helpers for pandas LFs (reference utils.py:40-84)
 # ---------------------------------------------------------------------------
 def overlap(a: Iterable, b: Iterable) -> bool:

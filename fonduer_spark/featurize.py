@@ -46,6 +46,23 @@ FEATURE_SCHEMA = T.StructType([
 WINDOW = 3          # lemma/word window (reference config featurization window)
 NGRAM_MAX = 2       # contained/aligned ngram max n
 
+# Sentence slices persisted by featurize(); at most one is alive at a time
+# (each call releases the previous call's slice).
+_PERSISTED: List[DataFrame] = []
+
+
+def release_featurize_cache() -> None:
+    """Unpersist any sentence slice cached by a prior featurize() call.
+
+    featurize() persists its sentence slice so Catalyst does not re-run the
+    parse stage once per join branch; results derived from a released call
+    simply recompute if re-materialized later."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _cfg_window_ngram() -> tuple:
     """Resolve (window, ngram_max) from the engine config
@@ -584,7 +601,7 @@ def visual_aligned_lemmas(sentences: DataFrame) -> DataFrame:
     )
     sent = sent.where(F.col("page").isNotNull() & (F.size("page") > 0))
     base = sent.select(
-        "url", "stable_id", "lemmas",
+        "url", "stable_id", "position", "lemmas",
         F.col("page").getItem(0).alias("pg"),
         F.array_min("left").cast("double").alias("x0"),
         F.array_max("right").cast("double").alias("x1"),
@@ -603,9 +620,13 @@ def visual_aligned_lemmas(sentences: DataFrame) -> DataFrame:
     outs = []
     for key, order, tag in (("yc", "xc", "Y_"), ("x0", "yc", "LEFT_"),
                             ("x1", "yc", "RIGHT_"), ("xc", "yc", "CENTER_")):
+        # Tiebreak the float order key on document position: the reference's
+        # stable sort preserves document order on exact (yc/x0/x1/xc) ties,
+        # so without this, tied sentences could swap accumulation order
+        # run-to-run and make ALIGNED_ features nondeterministic.
         w = (
             Window.partitionBy("url", "pg", key)
-            .orderBy(order)
+            .orderBy(order, "position")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         staged = base.withColumn(
@@ -754,11 +775,16 @@ def featurize(
         # subexpression-eliminate MapInPandas subtrees (measured: the
         # kg_features plan held 26 MapInPandas stages, i.e. ~10 full
         # corpus re-parses). MEMORY_AND_DISK, so at scale it spills
-        # instead of recomputing.
+        # instead of recomputing. The frame is tracked module-wide and the
+        # PREVIOUS featurize call's slice is released here, so a long-lived
+        # session holds at most one cached sentence slice (callers wanting
+        # eager release can call release_featurize_cache()).
+        release_featurize_cache()
         sentences = (
             sentences.where(F.col("ctx_type") == "sentence")
             if "ctx_type" in sentences.columns else sentences
         ).persist()
+        _PERSISTED.append(sentences)
     have_words = False
     if sentences is not None and ("textual" in libs or "lingual" in libs):
         sent = sentences

@@ -43,18 +43,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# cosine_topk scans the whole corpus once PER QUERY (broadcast nested loop);
+# beyond this many queries the work is a disguised all-pairs scan — route
+# through lsh_bucketed_ann instead.
+MAX_EXACT_QUERIES = 1024
+
+
 def cosine_topk(
     emb: DataFrame,
     query_ids: Sequence[int],
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_EXACT_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the given query ids (excluding self).
 
     Output: (query_id, neighbor_id, score) with rank-stable ordering
     (score desc, neighbor_id asc for ties).
+
+    Guard: the plan is a broadcast nested-loop — O(|queries| * N) dot
+    products. A large query set silently becomes an all-pairs scan, so
+    query sets beyond ``max_queries`` raise with a pointer to the bucketed
+    scale path (``lsh_bucketed_ann``, O(N / 2^planes) per query).
     """
+    query_ids = list(query_ids)
+    if len(query_ids) > max_queries:
+        raise ValueError(
+            f"cosine_topk got {len(query_ids)} query ids (> {max_queries}): "
+            "the exact path is a per-query full corpus scan. Use "
+            "lsh_bucketed_ann (multiprobe for recall) for large query sets, "
+            "or raise max_queries explicitly if the corpus is small."
+        )
     q = emb.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

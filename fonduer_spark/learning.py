@@ -202,6 +202,7 @@ def train_sequence_model(
     lr: float = 0.5,
     epochs: int = 200,
     l2: float = 1e-4,
+    max_fit_candidates: int = 200_000,
 ) -> Tuple[Dict[str, float], float]:
     """Train a discriminative model over the FonduerDataset MARKED token
     sequences (the input the reference feeds its LSTM, learning/task.py:
@@ -211,9 +212,22 @@ def train_sequence_model(
     token — trained driver-side on soft labels (the same collection point
     as train_logreg). The ``~~[[i``/``i]]~~`` markers are ordinary
     vocabulary tokens, so the model is relation-slot-aware exactly the way
-    the marking convention intends. Returns (token -> weight, bias)."""
+    the marking convention intends. Returns (token -> weight, bias).
+
+    Driver-memory bound: raw token sequences are far wider than the logreg
+    path's CSR, so the fit collects at most ``max_fit_candidates`` rows —
+    above that, a DETERMINISTIC hash sample (xxhash64 of candidate_sid, so
+    the subset is stable across partitionings and reruns) is drawn at the
+    fit point. Scoring stays fully distributed (score_sequences broadcasts
+    the weight map), so only the fit is subsampled."""
     m_cols = [c for c in marked.columns if c.endswith("_marked")]
-    rows = marked.select("candidate_sid", *m_cols).collect()
+    fit_df = marked.select("candidate_sid", *m_cols)
+    n_total = fit_df.count()
+    if n_total > max_fit_candidates:
+        frac_ppm = int(1_000_000 * max_fit_candidates / n_total)
+        fit_df = fit_df.where(
+            F.pmod(F.xxhash64("candidate_sid"), F.lit(1_000_000)) < frac_ppm)
+    rows = fit_df.collect()
     probs = {r.candidate_sid: float(r.prob)
              for r in marginals.select("candidate_sid", "prob").collect()}
     vocab: Dict[str, int] = {}

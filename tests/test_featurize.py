@@ -486,3 +486,34 @@ def test_sequence_model_learns_relation(spark, stages):
     neg = [r.model_prob for r in rows if r.prob <= 0.5]
     assert pos and neg
     assert min(pos) > max(neg)  # clean separation on the synthetic corpus
+
+
+def test_sequence_model_sampled_fit_bound(spark, stages):
+    """Driver-collect bound: with max_fit_candidates below the candidate
+    count, train_sequence_model fits on a deterministic xxhash64 sample yet
+    still separates tmax from tmin candidates (the sign token carries the
+    signal), and scoring stays distributed over the FULL candidate set."""
+    from fonduer_spark.labeling import with_marginals
+    from fonduer_spark.learning import (
+        marked_slot_tokens, score_sequences, train_sequence_model)
+    from fonduer_spark.pipeline import default_lfs
+
+    scored = with_marginals(stages["candidates"], default_lfs())
+    marked = marked_slot_tokens(scored, stages["sentences"])
+    n = marked.count()
+    cap = max(20, n // 3)
+    w, b = train_sequence_model(marked, scored, epochs=300,
+                                max_fit_candidates=cap)
+    w2, b2 = train_sequence_model(marked, scored, epochs=300,
+                                  max_fit_candidates=cap)
+    assert (w, b) == (w2, b2)  # hash sample => bit-deterministic refit
+    out = score_sequences(marked, w, b).join(
+        scored.select("candidate_sid", "prob"), "candidate_sid")
+    rows = out.select("model_prob", "prob").collect()
+    assert len(rows) == n  # full set scored, only the fit was sampled
+    pos = [r.model_prob for r in rows if r.prob > 0.5]
+    neg = [r.model_prob for r in rows if r.prob <= 0.5]
+    assert pos and neg
+    # a 1/3 sample weakens the margin but must keep the ranking: AUC >= 0.9
+    auc = sum(p > q for p in pos for q in neg) / (len(pos) * len(neg))
+    assert auc >= 0.9, auc

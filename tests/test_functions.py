@@ -233,3 +233,16 @@ def test_embcos_lsh_subset_of_brute_with_recall(spark, emb):
     for k, v in lsh.items():
         assert brute[k] == v  # identical rounded cosines
     assert len(lsh) >= 0.3 * max(1, len(brute))  # banded-LSH recall floor
+
+
+def test_cosine_topk_guard_large_query_set(spark, emb):
+    """cosine_topk is a per-query full corpus scan (broadcast nested loop);
+    query sets beyond max_queries raise and point at lsh_bucketed_ann
+    instead of silently planning an all-pairs scan."""
+    import pytest
+
+    with pytest.raises(ValueError, match="lsh_bucketed_ann"):
+        sim.cosine_topk(emb, list(range(2000)), k=3)
+    # explicit opt-out still works for small corpora
+    out = sim.cosine_topk(emb, [0, 1], k=1, max_queries=2)
+    assert out.count() == 2

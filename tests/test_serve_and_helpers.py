@@ -94,3 +94,80 @@ def test_model_save_load_roundtrip(tmp_path):
         os.makedirs(bad)
         json.dump({"engine": "other"}, open(bad / "meta.json", "w"))
         load_model(str(bad))
+
+
+def test_lf_helper_rowcol_and_percentile_columns(spark):
+    """get_{min,max}_{row,col}_num and get_page_{vert,horz}_percentile
+    (reference tabular.py:103-168, visual.py:295-381) as column expressions
+    over a synthetic slot frame: extrema read the denormalized cell
+    coordinates (null for non-tabular slots), percentiles divide the bbox
+    edge by the Letter-page defaults."""
+    from fonduer_spark.data_model_utils import (
+        get_max_col_num, get_max_row_num, get_min_col_num, get_min_row_num,
+        get_page_horz_percentile, get_page_vert_percentile)
+
+    df = spark.createDataFrame(
+        [(2, 2, 0, 1, 198, 153), (None, None, None, None, None, None)],
+        "a_row_start int, a_row_end int, a_col_start int, a_col_end int, "
+        "a_top int, a_left int",
+    )
+    out = df.select(
+        get_min_row_num("a_").alias("rmin"),
+        get_max_row_num("a_").alias("rmax"),
+        get_min_col_num("a_").alias("cmin"),
+        get_max_col_num("a_").alias("cmax"),
+        get_page_vert_percentile("a_").alias("vp"),
+        get_page_horz_percentile("a_").alias("hp"),
+    ).collect()
+    r0 = out[0]
+    assert (r0.rmin, r0.rmax, r0.cmin, r0.cmax) == (2, 2, 0, 1)
+    assert r0.vp == 198 / 792.0 and r0.hp == 153 / 612.0  # 0.25
+    r1 = out[1]
+    assert all(v is None for v in r1)
+    # custom page dims flow through
+    a4 = df.select(get_page_vert_percentile(
+        "a_", page_width=595, page_height=842).alias("vp")).first()
+    assert a4.vp == 198 / 842.0
+
+
+def test_lf_helper_spanning_cell_extrema(spark):
+    """A colspan-resolved cell's mention reports col_end > col_start through
+    get_max_col_num (reference tests/utils/data_model_utils/test_tabular.py:
+    127-139: spanning cells yield distinct min/max)."""
+    from fonduer_spark.corpus import load_docs
+    from fonduer_spark.data_model_utils import get_max_col_num, get_min_col_num
+    from fonduer_spark.matchers import DictionaryMatch
+    from fonduer_spark.mention_spaces import MentionNgrams
+    from fonduer_spark.mentions_op import MentionSpec, extract_mentions_fused
+
+    html = (
+        "<html><body><table>"
+        "<tr><th>H0</th><th>H1</th><th>H2</th></tr>"
+        '<tr><td colspan="2">nominal value</td><td>ok</td></tr>'
+        "</table></body></html>"
+    )
+    docs = load_docs(spark, "/root/testdata/sf0.001", max_docs=1)
+    specs = [MentionSpec("word", MentionNgrams(n_min=1, n_max=1),
+                         DictionaryMatch(d=["nominal", "ok"]))]
+    m = extract_mentions_fused(docs, specs, render=lambda i, text: html)
+    rows = {r.span: (r.cmin, r.cmax) for r in m.select(
+        F.col("span_text").alias("span"),
+        get_min_col_num("").alias("cmin"),
+        get_max_col_num("").alias("cmax"),
+    ).collect()}
+    assert rows["nominal"] == (0, 1)  # colspan=2 cell spans cols 0-1
+    assert rows["ok"] == (2, 2)
+
+
+def test_lf_helper_reference_parity_stubs():
+    """The five visual helpers that are TODO stubs in the reference
+    (visual.py:260-287) return None here too — importable, documented."""
+    from fonduer_spark.data_model_utils import (
+        get_vert_ngrams_center, get_vert_ngrams_left, get_vert_ngrams_right,
+        get_visual_distance, get_visual_header_ngrams)
+
+    assert get_vert_ngrams_left() is None
+    assert get_vert_ngrams_right() is None
+    assert get_vert_ngrams_center() is None
+    assert get_visual_header_ngrams(axis="horz") is None
+    assert get_visual_distance(axis="vert") is None
