@@ -489,6 +489,62 @@ def q_kg_rowcol_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_model_lfs():
+    """Three always-voting LFs over the object temp value v with KNOWN
+    accuracy structure: lf_sign is exact (v>0 iff gold tmax); lf_mod3 /
+    lf_mod5 copy it but flip whenever abs(v) is divisible by 3 / 5 —
+    error indicators that are independent of each other (CRT) and of the
+    label, i.e. exactly the conditional-independence regime the triplet
+    estimator assumes. Rows with abs(v) % 15 == 0 are double-flips where
+    MAJORITY VOTE is wrong (1 vs 2) and the accuracy-weighted model is
+    right."""
+    v = F.col("b_span_text").try_cast("int")
+    sign = v > 0
+    return {
+        "lf_sign": F.when(sign, 1).otherwise(0),
+        "lf_mod3": F.when(sign != (F.pmod(F.abs(v), 3) == 0), 1).otherwise(0),
+        "lf_mod5": F.when(sign != (F.pmod(F.abs(v), 5) == 0), 1).otherwise(0),
+    }
+
+
+def q_kg_label_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-estimating (snorkel-parity) generative label model, oracle-
+    checked end to end: triplet_label_model fits per-LF accuracies from the
+    pairwise vote moments in ONE aggregation pass (method of moments:
+    e_i = sqrt(E_ij*E_ik/E_jk)); the DuckDB oracle reconstructs every vote
+    from the corpus formulas and replays the identical moment/sqrt/clamp
+    arithmetic (exact integer sums -> one double division -> IEEE sqrt, so
+    the 6-dp rounding matches bit-for-bit)."""
+    from fonduer_spark.labeling import triplet_label_model
+
+    cands = kg_stages(spark, sf_dir)["candidates"]
+    model = triplet_label_model(cands, _label_model_lfs())
+    out = spark.createDataFrame(
+        [(n, model[n]["accuracy"]) for n in sorted(model)],
+        "lf string, acc double",
+    )
+    return out.select("lf", F.round("acc", 6).alias("acc")).orderBy("lf")
+
+
+def q_kg_triples_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gold triples recovered through the WEIGHTED label model on a
+    conflicting-LF set where majority vote fails: on double-flip rows
+    (abs(v) % 15 == 0) the vote is 1-2 against the truth, so
+    majority-vote marginals drop those gold triples; triplet_marginals
+    weights lf_sign by its near-1 estimated accuracy and recovers the
+    exact gold set (oracle: the same gold_triples_sql as kg_triples)."""
+    from fonduer_spark.labeling import triplet_marginals
+    from fonduer_spark.triples import materialize_triples
+
+    cands = kg_stages(spark, sf_dir)["candidates"]
+    scored = triplet_marginals(cands, _label_model_lfs())
+    return (
+        materialize_triples(scored, pred=PRED, prob_threshold=0.5)
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "obj")
+    )
+
+
 def q_kg_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING engine path, oracle-checked: web pages written as a
     parquet drop, readStream -> the same fused parse+mention stage
@@ -700,6 +756,41 @@ SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
        CAST(SUM(3) AS BIGINT) AS sum_col_min,
        CAST(SUM(3) AS BIGINT) AS sum_col_max
 FROM cells GROUP BY i ORDER BY url
+"""
+
+# kg_label_model oracle: replay the triplet estimator exactly — votes in ±1
+# space from the corpus formulas (v = tmax or tmin per body row; lf_mod3/5
+# flip lf_sign when abs(v) % 3/5 == 0), pairwise moments as exact integer
+# sums over ONE double division, then the same (E_ij*E_ik)/E_jk -> abs ->
+# sqrt -> clamp -> (1+e)/2 arithmetic as triplet_label_model (names sorted:
+# lf_mod3 < lf_mod5 < lf_sign fixes the operand order).
+_KG_LABEL_MODEL_SQL = _KG_CELLS_CTE + """
+, cands AS (
+  SELECT unnest([85 + ((i*3 + r*7) % 60), -(40 + ((i + r) % 30))]) AS v
+  FROM cells
+),
+votes AS (
+  SELECT CASE WHEN v > 0 THEN 1 ELSE -1 END AS s,
+         CASE WHEN (v > 0) != (abs(v) % 3 = 0) THEN 1 ELSE -1 END AS m3,
+         CASE WHEN (v > 0) != (abs(v) % 5 = 0) THEN 1 ELSE -1 END AS m5
+  FROM cands
+),
+mo AS (
+  SELECT
+    SUM(m3*m5) / CAST(count(*) AS DOUBLE) AS e35,
+    SUM(m3*s)  / CAST(count(*) AS DOUBLE) AS e3s,
+    SUM(m5*s)  / CAST(count(*) AS DOUBLE) AS e5s
+  FROM votes
+),
+est AS (
+  SELECT 'lf_mod3' AS lf, sqrt(abs((e35 * e3s) / e5s)) AS e FROM mo
+  UNION ALL
+  SELECT 'lf_mod5', sqrt(abs((e35 * e5s) / e3s)) FROM mo
+  UNION ALL
+  SELECT 'lf_sign', sqrt(abs((e3s * e5s) / e35)) FROM mo
+)
+SELECT lf, round((1.0 + least(greatest(e, 0.0), 0.9999)) / 2.0, 6) AS acc
+FROM est ORDER BY lf
 """
 
 # kg_features oracle: per-(url, slot_family) feature-key counts rebuilt from
@@ -1874,6 +1965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_visual_feats": q_kg_visual_feats,
         "kg_visual_percentile": q_kg_visual_percentile,
         "kg_rowcol_minmax": q_kg_rowcol_minmax,
+        "kg_label_model": q_kg_label_model,
+        "kg_triples_weighted": q_kg_triples_weighted,
         "kg_features_lingual": q_kg_features_lingual,
         "kg_stream_mentions": q_kg_stream_mentions,
         "stream_dedup": q_stream_dedup,
@@ -1940,6 +2033,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_visual_feats": _KG_VISUAL_FEATS_SQL,
         "kg_visual_percentile": _KG_VISUAL_PCT_SQL,
         "kg_rowcol_minmax": _KG_ROWCOL_MINMAX_SQL,
+        "kg_label_model": _KG_LABEL_MODEL_SQL,
+        "kg_triples_weighted": gold_triples_sql(),
         "kg_features_lingual": _KG_FEATURES_LINGUAL_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,

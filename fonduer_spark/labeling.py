@@ -8,10 +8,12 @@ per candidate — one row per candidate, exactly the reference's annotation
 layout (utils/models/annotation.py:46-101).
 
 Column-expression LFs are evaluated JVM-side (whole-stage codegen); opaque
-Python LFs run in one Arrow-batched pass. The label model is a
-majority-vote generative model implemented as a pure Spark aggregation
-(the reference's external snorkel LabelModel is driver-side and optional;
-majority vote is its documented fallback — SURVEY.md §2.8).
+Python LFs run in one Arrow-batched pass. Two generative label models ship:
+majority vote (one narrow projection) and the accuracy-estimating
+triplet/method-of-moments model (triplet_label_model — one aggregation pass
+for the pairwise moments, closed-form accuracies, broadcast weights; the
+pure-Spark stand-in for the reference's optional driver-side snorkel
+LabelModel — SURVEY.md §2.8).
 """
 
 from __future__ import annotations
@@ -169,6 +171,127 @@ def snorkel_label_model_marginals(labels: DataFrame) -> DataFrame:
     marg = spark.createDataFrame(pdf, "candidate_sid string, prob double")
     return labels.select("candidate_sid", "candidate_type", "url") \
         .join(marg, "candidate_sid")
+
+
+def _pm_cols(names: List[str]) -> Dict[str, Column]:
+    """±1-space vote columns from the 0-shifted ``_lf_*`` storage:
+    stored 2 (user TRUE) -> +1, stored 1 (user FALSE) -> -1, ABSTAIN -> 0."""
+    return {
+        n: F.when(F.col(f"_lf_{n}") == 2, F.lit(1))
+            .when(F.col(f"_lf_{n}") == 1, F.lit(-1))
+            .otherwise(F.lit(0))
+        for n in names
+    }
+
+
+def triplet_label_model(
+    candidates: DataFrame,
+    lfs: Mapping[str, Union[Column, PandasLF]],
+    clamp: float = 0.9999,
+) -> Dict[str, Dict[str, float]]:
+    """Accuracy-estimating generative label model, fit in ONE Spark
+    aggregation pass — the pure-Spark replacement for snorkel's LabelModel
+    (the reference fits it driver-side on the collected matrix,
+    tests/e2e/test_e2e.py:317-320; majority vote is its fallback).
+
+    Method of moments over LF-pair agreements (the matrix-completion /
+    triplet construction snorkel's LabelModel and FlyingSquid are built on;
+    Ratner et al., "Training Complex Models with Multi-Task Weak
+    Supervision", and Fu et al., "Fast and Three-rious"): in ±1 space with
+    latent Y, conditional independence gives E[li*lj] = ei*ej where
+    ei = E[li*Y] is LF i's alignment, so for any triplet
+    ei = sqrt(E_ij * E_ik / E_jk). Estimates average over all triplets and
+    assume every LF beats random (ei > 0 — the standard sign resolution).
+
+    Scale design: the moment matrix is ONE ``agg`` over the candidates
+    (k*(k-1)/2 integer product-sums + pair counts — exact arithmetic, so
+    the fit is bit-deterministic under any partitioning); everything after
+    is O(k^3) driver-side float math. No per-candidate collect.
+
+    Returns {lf: {"alignment", "accuracy", "weight"}} where accuracy =
+    (1+e)/2 and weight = log(acc/(1-acc)) — the naive-Bayes log-likelihood
+    ratio per vote used by triplet_marginals.
+    """
+    import math
+
+    names = sorted(lfs.keys())
+    if len(names) < 3:
+        raise ValueError("triplet_label_model needs >= 3 LFs; "
+                         "use majority_vote_marginals for fewer")
+    df = _eval_lfs(candidates, lfs)
+    pm = _pm_cols(names)
+    aggs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            prod = pm[a] * pm[b]
+            aggs.append(F.sum(prod).alias(f"m__{a}__{b}"))
+            aggs.append(F.sum(F.abs(prod)).alias(f"c__{a}__{b}"))
+    row = df.agg(*aggs).collect()[0]
+
+    def E(a: str, b: str) -> float:
+        if a > b:
+            a, b = b, a
+        c = row[f"c__{a}__{b}"] or 0
+        return (row[f"m__{a}__{b}"] / c) if c else 0.0
+
+    out: Dict[str, Dict[str, float]] = {}
+    for i_name in names:
+        others = [n for n in names if n != i_name]
+        ests = []
+        for j in range(len(others)):
+            for k in range(j + 1, len(others)):
+                e_jk = E(others[j], others[k])
+                if e_jk == 0.0:
+                    continue
+                ests.append(math.sqrt(abs(
+                    E(i_name, others[j]) * E(i_name, others[k]) / e_jk)))
+        if ests:
+            e_i = sum(ests) / len(ests)
+        elif any(E(i_name, o) != 0.0 for o in others):
+            # No usable triplet (every supporting pair has zero moment —
+            # e.g. a dead third LF) but this LF does co-vote with others:
+            # fall back to snorkel LabelModel's prior init, accuracy 0.7.
+            e_i = 0.4
+        else:
+            e_i = 0.0  # never co-votes with anything: uninformative, weight 0
+        e_i = min(max(e_i, 0.0), clamp)
+        acc = (1.0 + e_i) / 2.0
+        out[i_name] = {
+            "alignment": e_i,
+            "accuracy": acc,
+            "weight": math.log(acc / (1.0 - acc)),
+        }
+    return out
+
+
+def triplet_marginals(
+    candidates: DataFrame,
+    lfs: Mapping[str, Union[Column, PandasLF]],
+    prior: float = 0.5,
+    clamp: float = 0.9999,
+) -> DataFrame:
+    """Candidates + accuracy-WEIGHTED ``prob`` (and the keys/values label
+    arrays), the drop-in upgrade of with_marginals for conflicting-LF
+    corpora: fit triplet_label_model (one aggregation), then score
+    distributed — prob = sigmoid(sum_i li * w_i + logit(prior)) as pure
+    column arithmetic with the weights inlined as literals (a broadcast of
+    k floats). Abstains contribute 0, so an all-abstain candidate scores
+    the prior, like majority_vote_marginals' 0.5."""
+    import math
+
+    model = triplet_label_model(candidates, lfs, clamp=clamp)
+    names = sorted(lfs.keys())
+    df = _eval_lfs(candidates, lfs)
+    pm = _pm_cols(names)
+    z = F.lit(math.log(prior / (1.0 - prior)))
+    for n in names:
+        z = z + pm[n].cast("double") * F.lit(model[n]["weight"])
+    keys, values = _label_arrays(lfs)
+    df = (
+        df.withColumn("keys", keys).withColumn("values", values)
+        .withColumn("prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    )
+    return df.select(*[c for c in df.columns if not c.startswith("_lf_")])
 
 
 def gold_labels(

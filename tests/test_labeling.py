@@ -72,3 +72,96 @@ def test_entity_level_prf1(spark):
     assert m["tp"] == 2 and m["fp"] == 1 and m["fn"] == 1
     assert abs(m["precision"] - 2 / 3) < 1e-9
     assert abs(m["recall"] - 2 / 3) < 1e-9
+
+
+def _noisy_fixture(spark, n=3000):
+    """Conditionally-independent weak-supervision fixture with KNOWN LF
+    accuracies: latent y alternates; each LF copies y but flips on a
+    deterministic md5-derived coin independent of the others (hash of
+    (row, lf) -> uniform nibble), giving true accuracies ~0.95/0.75/0.65."""
+    import hashlib
+
+    def coin(i, lf, p_err):
+        h = int(hashlib.md5(f"{i}:{lf}".encode()).hexdigest()[:8], 16)
+        return (h % 1000) < p_err * 1000
+
+    rows = []
+    for i in range(n):
+        y = i % 2  # balanced classes
+        votes = {
+            lf: (1 - y if coin(i, lf, err) else y)
+            for lf, err in (("a", 0.05), ("b", 0.25), ("c", 0.35))
+        }
+        rows.append(("c%d" % i, "t", "u", votes["a"], votes["b"], votes["c"], y))
+    return spark.createDataFrame(
+        rows, "candidate_sid string, candidate_type string, url string, "
+              "va int, vb int, vc int, y int")
+
+
+def test_triplet_model_recovers_accuracies(spark):
+    """Snorkel-parity evidence: the triplet estimator targets the same
+    pairwise-agreement moments as snorkel's LabelModel; on a conditionally-
+    independent fixture with known accuracies (0.95/0.75/0.65) the
+    closed-form estimates land within +/-0.04 of truth."""
+    from fonduer_spark.labeling import triplet_label_model
+
+    df = _noisy_fixture(spark)
+    lfs = {"a": F.col("va"), "b": F.col("vb"), "c": F.col("vc")}
+    model = triplet_label_model(df, lfs)
+    assert abs(model["a"]["accuracy"] - 0.95) < 0.04
+    assert abs(model["b"]["accuracy"] - 0.75) < 0.04
+    assert abs(model["c"]["accuracy"] - 0.65) < 0.04
+    # weights are the per-vote log-likelihood ratios, ordered by accuracy
+    assert model["a"]["weight"] > model["b"]["weight"] > model["c"]["weight"] > 0
+    # deterministic refit (exact integer moments)
+    assert model == triplet_label_model(df, lfs)
+
+
+def test_triplet_marginals_beat_majority_on_conflicts(spark):
+    """The payoff over majority vote: where the two weak LFs jointly
+    outvote the strong one (a right, b+c wrong), majority flips to the
+    wrong side while the accuracy-weighted posterior stays right."""
+    from fonduer_spark.labeling import triplet_marginals, with_marginals
+
+    df = _noisy_fixture(spark)
+    lfs = {"a": F.col("va"), "b": F.col("vb"), "c": F.col("vc")}
+    weighted = {r.candidate_sid: r.prob
+                for r in triplet_marginals(df, lfs).collect()}
+    majority = {r.candidate_sid: r.prob
+                for r in with_marginals(df, lfs).collect()}
+    truth = {r.candidate_sid: r.y for r in df.collect()}
+    conflict = [r.candidate_sid for r in df.collect()
+                if r.va == r.y and r.vb != r.y and r.vc != r.y]
+    assert len(conflict) > 50  # ~8.75% of rows
+    for sid in conflict:
+        assert (majority[sid] > 0.5) != (truth[sid] == 1)  # majority wrong
+        assert (weighted[sid] > 0.5) == (truth[sid] == 1)  # weighted right
+    # overall accuracy strictly improves
+    acc_w = sum((weighted[s] > 0.5) == (truth[s] == 1) for s in truth) / len(truth)
+    acc_m = sum((majority[s] > 0.5) == (truth[s] == 1) for s in truth) / len(truth)
+    assert acc_w > acc_m
+
+
+def test_triplet_model_needs_three_lfs(spark):
+    import pytest
+
+    from fonduer_spark.labeling import triplet_label_model
+
+    with pytest.raises(ValueError, match="3 LFs"):
+        triplet_label_model(cands(spark), {"a": F.lit(1), "b": F.lit(0)})
+
+
+def test_triplet_marginals_abstain_scores_prior(spark):
+    from fonduer_spark.labeling import triplet_marginals
+
+    lfs = {
+        "a": F.when(F.col("val") > 0, 1).otherwise(0),
+        "b": F.when(F.col("val") > 50, 1).otherwise(0),
+        "c": F.lit(-1),  # always abstains
+    }
+    out = {r.candidate_sid: r.prob
+           for r in triplet_marginals(cands(spark), lfs, prior=0.5).collect()}
+    assert set(out) == {"c1", "c2", "c3"}
+    # all-abstain would score exactly the prior; here c abstains everywhere
+    # and contributes nothing to any z
+    assert out["c1"] > 0.5 and out["c2"] < 0.5
