@@ -545,6 +545,50 @@ def q_kg_triples_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental keyed upsert promoted to the contract (reference
+    clear=False update mode, tests/e2e/test_incremental.py:82-112):
+    commit a mentions snapshot that is WRONG for 10% of the documents
+    (every doc_id % 10 == 0 carries STALE_-prefixed part spans), then
+    upsert_stage recomputes exactly those documents and MERGEs by url —
+    matched urls are replaced wholesale, the other 90% carry over as a
+    parquet scan. The post-merge table must equal the full batch rerun:
+    the oracle is the same per-part census as kg_part_mentions, and it
+    fails in BOTH failure directions (stale rows surviving add STALE_
+    parts; missed inserts drop parts)."""
+    import tempfile
+
+    from fonduer_spark.checkpoints import CheckpointedPipeline
+    from fonduer_spark.corpus import load_docs
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.pipeline import default_mention_specs
+
+    tmp = tempfile.mkdtemp(prefix="kginc_")
+    specs = default_mention_specs()
+    docs = load_docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % 10 != 0)
+    late = docs.where(F.col("doc_id") % 10 == 0)
+    cp = CheckpointedPipeline(spark, tmp, signature="inc-demo")
+    cp.stage(
+        "mentions",
+        lambda: extract_mentions_fused(base, specs).unionByName(
+            extract_mentions_fused(late, specs)
+            .withColumn("span_text",
+                        F.concat(F.lit("STALE_"), F.col("span_text")))
+        ),
+    )
+    merged = cp.upsert_stage(
+        "mentions", lambda: extract_mentions_fused(late, specs),
+        keys=["url"],
+    )
+    return (
+        merged.where(F.col("mention_type") == "part")
+        .groupBy(F.col("span_text").alias("part"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("part")
+    )
+
+
 def q_kg_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING engine path, oracle-checked: web pages written as a
     parquet drop, readStream -> the same fused parse+mention stage
@@ -1967,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rowcol_minmax": q_kg_rowcol_minmax,
         "kg_label_model": q_kg_label_model,
         "kg_triples_weighted": q_kg_triples_weighted,
+        "kg_incremental": q_kg_incremental,
         "kg_features_lingual": q_kg_features_lingual,
         "kg_stream_mentions": q_kg_stream_mentions,
         "stream_dedup": q_stream_dedup,
@@ -2035,6 +2080,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rowcol_minmax": _KG_ROWCOL_MINMAX_SQL,
         "kg_label_model": _KG_LABEL_MODEL_SQL,
         "kg_triples_weighted": gold_triples_sql(),
+        "kg_incremental": _KG_PART_MENTIONS_SQL,
         "kg_features_lingual": _KG_FEATURES_LINGUAL_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,

@@ -88,11 +88,15 @@ def main_bench(cores: int, sf_dir: str) -> dict:
     n_triples, n_docs, wall = run_kg(spark, sf_dir)
     timings["kg_triples"] = round(wall, 3)
 
-    # headline 2-9: one representative per operator family. Best-of-3 per
-    # query: a single pass records hypervisor-steal spikes as the round's
-    # number (r02 recorded a 4.4x steal artifact on dedup_minhash_pairs).
+    # headline 2-9: one representative per operator family — every headline
+    # has a bucketed/linear plan (the near-dup headline is the LSH+verify
+    # path; the quadratic Jaccard kernel is benched separately below on a
+    # capped input and does NOT count toward the headline wall). Best-of-3
+    # per query: a single pass records hypervisor-steal spikes as the
+    # round's number (r02 recorded a 4.4x steal artifact on
+    # dedup_minhash_pairs).
     heads = ["kg_triples_all", "dedup_minhash_pairs", "dedup_lsh_verified",
-             "dedup_jaccard", "sim_topk", "text_quality", "rel_agg",
+             "dedup_embcos", "sim_topk", "text_quality", "rel_agg",
              "rel_join"]
     qs = E.queries()
     for name in heads:
@@ -103,6 +107,20 @@ def main_bench(cores: int, sf_dir: str) -> dict:
             qs[name](spark, sf_dir).count()
             walls.append(time.time() - t0)
         timings[name] = round(min(walls), 3)
+
+    # Bounded ground-truth kernels, reported OUTSIDE the headline: the
+    # all-pairs shingle-Jaccard kernel is O(sum df^2) BY DESIGN (the scale
+    # path is dedup_lsh_verified); it runs here on its documented 1000-doc
+    # cap so the number is disclosed without presenting a quadratic plan as
+    # a throughput headline.
+    capped = {}
+    for name, cap_note in (("dedup_jaccard", "doc_id<1000"),):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        capped[f"{name}[{cap_note}]"] = round(time.time() - t0, 3)
+
+    skew = skew_leg(spark, sf_dir)
 
     # ANN quality: recall@5 of the LSH multiprobe path vs the exact top-k
     # (planes=3, multiprobe=1 — the recall-knob configuration)
@@ -130,7 +148,75 @@ def main_bench(cores: int, sf_dir: str) -> dict:
         "docs_per_sec": round(n_docs / wall, 2),
         "triples_per_sec": round(n_triples / wall, 2),
         "sim_ann_recall_at5": ann_recall,
+        "capped_kernels": capped,
+        "skew": skew,
     }
+
+
+def skew_render(i, text):
+    """Hot-doc corpus for the skew leg: doc 0's page with its tables block
+    repeated 25x (7 tables -> 175), i.e. a single document carrying ~100x
+    the median mention count — the adversarial input for candidate
+    generation."""
+    from fonduer_spark.corpus import render_page
+
+    html = render_page(int(i), text)
+    if int(i) == 0:
+        a = html.index("<table")
+        b = html.rindex("</table>") + len("</table>")
+        html = html[:a] + html[a:b] * 25 + html[b:]
+    return html
+
+
+def skew_leg(spark, sf_dir: str, n_docs: int = 1024, cap: int = 400) -> dict:
+    """Skew-robustness evidence: candidate extraction over the hot-doc
+    corpus under all three strategies — fused (doc-local flatMap; the hot
+    doc serializes one task), join (relational, salted), and auto (fused +
+    overflow docs routed through the salted join path at
+    max_mentions_per_doc=cap). All three are row-count-identical (asserted);
+    the walls show what the overflow routing buys/costs on adversarial
+    input. test_candidates.py::test_skew_corpus_strategies_row_identical
+    asserts full row-identity and that the overflow marker engages."""
+    from fonduer_spark.candidates_fused import (
+        extract_candidates_auto, extract_candidates_fused, same_row_py)
+    from fonduer_spark.candidates_op import extract_candidates, same_row
+    from fonduer_spark.corpus import load_docs, url_of
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.pipeline import default_mention_specs
+
+    docs = load_docs(spark, sf_dir, max_docs=n_docs)
+    specs = default_mention_specs()
+    out = {"n_docs": n_docs, "cap": cap}
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    mentions = extract_mentions_fused(docs, specs, render=skew_render)
+    n_join = extract_candidates(
+        mentions, "part_temp", "part", "temp",
+        throttler=same_row, throttler_kind="column").count()
+    out["join_sec"] = round(time.time() - t0, 3)
+    out["hot_doc_mentions"] = mentions.where(
+        mentions.url == url_of(0)).count()
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    n_fused = extract_candidates_fused(
+        docs, specs, "part_temp", "part", "temp",
+        throttler=same_row_py, render=skew_render,
+        max_mentions_per_doc=10_000_000).count()
+    out["fused_sec"] = round(time.time() - t0, 3)
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    n_auto = extract_candidates_auto(
+        docs, specs, "part_temp", "part", "temp",
+        py_throttler=same_row_py, column_throttler=same_row,
+        render=skew_render, max_mentions_per_doc=cap).count()
+    out["auto_sec"] = round(time.time() - t0, 3)
+
+    assert n_join == n_fused == n_auto, (n_join, n_fused, n_auto)
+    out["n_candidates"] = n_auto
+    return out
 
 
 def _proc_stat() -> tuple:

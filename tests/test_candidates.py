@@ -278,3 +278,49 @@ def test_nary_nullable_slot(spark, mentions_df):
     nulls = nb.where(F.col("m2_stable_id").isNull())
     assert nulls.count() == extra
     assert nulls.first().candidate_sid.endswith("~~NULL")
+
+
+def test_skew_corpus_strategies_row_identical(spark):
+    """VERDICT r3 item 10: on an adversarial hot-doc corpus (bench.py
+    skew_render: doc 0 carries 175 tables, ~100x the median mention count)
+    the three candidate strategies — fused, salted join, and auto with the
+    overflow routed — produce IDENTICAL rows, and the auto path's overflow
+    marker actually engages for the hot doc."""
+    from bench import skew_render
+    from fonduer_spark.candidates_fused import (
+        OVERFLOW_TYPE, extract_candidates_auto, extract_candidates_fused,
+        same_row_py)
+    from fonduer_spark.corpus import load_docs, url_of
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.pipeline import default_mention_specs
+
+    docs = load_docs(spark, "/root/testdata/sf0.001", max_docs=24)
+    specs = default_mention_specs()
+    cap = 400
+
+    mentions = extract_mentions_fused(docs, specs, render=skew_render)
+    hot = mentions.where(F.col("url") == url_of(0)).count()
+    assert hot > cap  # the skew corpus actually skews past the cap
+
+    joined = extract_candidates(
+        mentions, "part_temp", "part", "temp",
+        throttler=same_row, throttler_kind="column")
+
+    fused = extract_candidates_fused(
+        docs, specs, "part_temp", "part", "temp",
+        throttler=same_row_py, render=skew_render, max_mentions_per_doc=cap)
+    markers = fused.where(F.col("candidate_type") == OVERFLOW_TYPE)
+    assert {r.url for r in markers.select("url").collect()} == {url_of(0)}
+
+    routed = extract_candidates_auto(
+        docs, specs, "part_temp", "part", "temp",
+        py_throttler=same_row_py, column_throttler=same_row,
+        render=skew_render, max_mentions_per_doc=cap)
+
+    cols = ["candidate_sid", "a_stable_id", "b_stable_id",
+            "a_span_text", "b_span_text"]
+    got = {tuple(r) for r in routed.select(*cols).collect()}
+    want = {tuple(r) for r in joined.select(*cols).collect()}
+    assert got == want
+    # the hot doc's quadratic product went through the join path un-dropped
+    assert sum(1 for t in got if t[0].startswith(url_of(0))) > 1000
