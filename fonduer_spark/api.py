@@ -180,3 +180,41 @@ class Labeler:
     @staticmethod
     def marginals(labels: DataFrame) -> DataFrame:
         return majority_vote_marginals(labels)
+
+
+class LabelModel:
+    """snorkel LabelModel call shape (the reference drives
+    snorkel.labeling.model.LabelModel directly after Labeler.apply,
+    tests/e2e/test_e2e.py:317-320: fit -> predict_proba) over the engine's
+    triplet method-of-moments estimator — fit is ONE Spark aggregation of
+    the pairwise vote moments, predict_proba scores distributed with the
+    fitted weights broadcast as literals."""
+
+    def __init__(self, spark: SparkSession, cardinality: int = 2) -> None:
+        if cardinality != 2:
+            raise NotImplementedError(
+                "binary label model only (the reference's e2e usage)")
+        self.spark = spark
+        self.model_: Optional[Dict] = None
+
+    def fit(self, candidates: DataFrame, lfs: Dict) -> "LabelModel":
+        from .labeling import triplet_label_model
+
+        self.model_ = triplet_label_model(candidates, lfs)
+        self.lfs_ = dict(lfs)
+        return self
+
+    def predict_proba(self, candidates: DataFrame,
+                      prior: float = 0.5) -> DataFrame:
+        from .labeling import score_with_label_model
+
+        if self.model_ is None:
+            raise ValueError("fit() before predict_proba()")
+        return score_with_label_model(candidates, self.lfs_, self.model_,
+                                      prior=prior)
+
+    def get_weights(self) -> Dict[str, float]:
+        """Per-LF estimated accuracies (snorkel's get_weights analogue)."""
+        if self.model_ is None:
+            raise ValueError("fit() before get_weights()")
+        return {n: m["accuracy"] for n, m in self.model_.items()}

@@ -264,22 +264,19 @@ def triplet_label_model(
     return out
 
 
-def triplet_marginals(
+def score_with_label_model(
     candidates: DataFrame,
     lfs: Mapping[str, Union[Column, PandasLF]],
+    model: Dict[str, Dict[str, float]],
     prior: float = 0.5,
-    clamp: float = 0.9999,
 ) -> DataFrame:
-    """Candidates + accuracy-WEIGHTED ``prob`` (and the keys/values label
-    arrays), the drop-in upgrade of with_marginals for conflicting-LF
-    corpora: fit triplet_label_model (one aggregation), then score
-    distributed — prob = sigmoid(sum_i li * w_i + logit(prior)) as pure
-    column arithmetic with the weights inlined as literals (a broadcast of
-    k floats). Abstains contribute 0, so an all-abstain candidate scores
-    the prior, like majority_vote_marginals' 0.5."""
+    """Distributed scoring under a FITTED label model: prob =
+    sigmoid(sum_i li * w_i + logit(prior)) as pure column arithmetic with
+    the k weights inlined as literals (a broadcast of floats). Abstains
+    contribute 0, so an all-abstain candidate scores the prior, like
+    majority_vote_marginals' 0.5. Appends keys/values label arrays too."""
     import math
 
-    model = triplet_label_model(candidates, lfs, clamp=clamp)
     names = sorted(lfs.keys())
     df = _eval_lfs(candidates, lfs)
     pm = _pm_cols(names)
@@ -292,6 +289,20 @@ def triplet_marginals(
         .withColumn("prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
     )
     return df.select(*[c for c in df.columns if not c.startswith("_lf_")])
+
+
+def triplet_marginals(
+    candidates: DataFrame,
+    lfs: Mapping[str, Union[Column, PandasLF]],
+    prior: float = 0.5,
+    clamp: float = 0.9999,
+) -> DataFrame:
+    """Candidates + accuracy-WEIGHTED ``prob`` (and the keys/values label
+    arrays), the drop-in upgrade of with_marginals for conflicting-LF
+    corpora: fit triplet_label_model (one aggregation), then score
+    distributed via score_with_label_model."""
+    model = triplet_label_model(candidates, lfs, clamp=clamp)
+    return score_with_label_model(candidates, lfs, model, prior=prior)
 
 
 def gold_labels(

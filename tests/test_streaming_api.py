@@ -145,3 +145,37 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     got = {r.event_type: r.n for r in latest.collect()}
     want = {r.event_type: r["count"] for r in truth.collect()}
     assert got == want
+
+
+def test_label_model_facade(spark):
+    """api.LabelModel mirrors snorkel's fit/predict_proba/get_weights call
+    shape (reference e2e drives snorkel.labeling.model.LabelModel after
+    Labeler.apply) over the triplet estimator; fitting on one frame and
+    scoring another reuses the broadcast weights."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fonduer_spark.api import LabelModel
+
+    df = spark.createDataFrame(
+        [("c%d" % i, "t", "u", i % 2) for i in range(40)],
+        "candidate_sid string, candidate_type string, url string, y int")
+    lfs = {
+        "good": F.col("y"),
+        "noisy": F.when(F.col("y") == 1, 1 - (F.col("candidate_sid") == "c1")
+                        .cast("int")).otherwise(0),
+        "flip5": F.when((F.col("y") == 1) != (F.pmod(
+            F.length("candidate_sid"), 5) == 0), 1).otherwise(0),
+    }
+    m = LabelModel(spark).fit(df, lfs)
+    w = m.get_weights()
+    assert set(w) == {"good", "noisy", "flip5"}
+    assert all(0.5 <= a <= 1.0 for a in w.values())
+    probs = {r.candidate_sid: r.prob for r in m.predict_proba(df).collect()}
+    truth = {r.candidate_sid: r.y for r in df.collect()}
+    acc = sum((probs[s] > 0.5) == (truth[s] == 1) for s in truth) / len(truth)
+    assert acc >= 0.9
+    with pytest.raises(NotImplementedError):
+        LabelModel(spark, cardinality=3)
+    with pytest.raises(ValueError, match="fit"):
+        LabelModel(spark).predict_proba(df)
