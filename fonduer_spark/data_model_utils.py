@@ -423,6 +423,51 @@ def get_visual_distance(c=None, axis=None):
 
 
 # ---------------------------------------------------------------------------
+# table range-diff helpers (reference utils/utils_table.py:12-76, tested at
+# tests/utils/test_utils_table.py:7-25): the minimum-magnitude difference
+# achievable by picking one integer point inside each (start, end) range and
+# comparing consecutive picks. Used by pandas LFs over spanning cells; the
+# column-expression equivalents (ROW_DIFF/COL_DIFF min-over-pairs) live in
+# featurize.py.
+# ---------------------------------------------------------------------------
+def min_range_diff(*ranges: tuple, absolute: bool = True) -> int:
+    """Minimum-|.|, sign-preserving consecutive difference over one point
+    chosen per range. Closed form per consecutive pair (the reference
+    brute-forces the integer product, utils_table.py:26-35): overlapping
+    ranges contribute 0; disjoint ranges contribute the signed gap
+    a_start - b_end (a after b) or a_end - b_start (a before b). The
+    global answer is the min-by-|.| over consecutive pairs — equivalent
+    because each pair's minimum is achievable independently (the shared
+    middle point can satisfy both sides at a range endpoint)."""
+    best = None
+    for (a0, a1), (b0, b1) in zip(ranges[:-1], ranges[1:]):
+        if a1 < b0:
+            d = a1 - b0
+        elif b1 < a0:
+            d = a0 - b1
+        else:
+            d = 0
+        if best is None or abs(d) < abs(best):
+            best = d
+    if best is None:
+        raise ValueError("min_range_diff needs >= 2 ranges")
+    return abs(best) if absolute else best
+
+
+def min_row_diff(rows: Sequence, absolute: bool = True) -> int:
+    """Minimum row difference over (row_start, row_end) pairs (reference
+    utils_table.py:38-53 over Cell/Sentence objects — here the caller
+    passes the denormalized coordinate pairs)."""
+    return min_range_diff(*rows, absolute=absolute)
+
+
+def min_col_diff(cols: Sequence, absolute: bool = True) -> int:
+    """Minimum column difference over (col_start, col_end) pairs
+    (reference utils_table.py:56-76)."""
+    return min_range_diff(*cols, absolute=absolute)
+
+
+# ---------------------------------------------------------------------------
 # 3. row-level python helpers for pandas LFs (reference utils.py:40-84)
 # ---------------------------------------------------------------------------
 def overlap(a: Iterable, b: Iterable) -> bool:

@@ -302,3 +302,34 @@ def score_with_model(
     )
     z = dot + F.lit(bias)
     return features.withColumn("model_prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def confusion_matrix(pred, gold) -> Tuple[set, set, set]:
+    """(TP, FP, FN) as sets — works for entity tuples or candidate ids,
+    mention- or entity-level (reference learning/utils.py:77-93, tested at
+    tests/learning/test_utils.py:6). The DataFrame-scale equivalent is
+    labeling.entity_level_prf1 (distributed set ops); this is the
+    driver-side small-set form the reference exposes."""
+    if not isinstance(pred, set):
+        pred = set(pred)
+    if not isinstance(gold, set):
+        gold = set(gold)
+    return (pred & gold, pred - gold, gold - pred)
+
+
+def shift_label_matrix(L: np.ndarray) -> np.ndarray:
+    """Dense label matrix (ABSTAIN as -1) -> 0-shifted matrix (ABSTAIN as
+    0), the storage convention of the labels frame (reference
+    utils/utils_udf.py:201-203 returns a scipy csr_matrix; scipy is absent
+    here, so the shifted matrix stays a dense ndarray whose zeros are the
+    implicit sparsity — np.count_nonzero gives the reference's
+    count_nonzero)."""
+    return np.asarray(L) + 1
+
+
+def unshift_label_matrix(L_shifted: np.ndarray) -> np.ndarray:
+    """Inverse of shift_label_matrix: 0-shifted (ABSTAIN as 0) -> dense
+    with ABSTAIN as -1 (reference utils/utils_udf.py:196-198)."""
+    arr = L_shifted.toarray() if hasattr(L_shifted, "toarray") \
+        else np.asarray(L_shifted)
+    return arr - 1

@@ -171,3 +171,50 @@ def test_lf_helper_reference_parity_stubs():
     assert get_vert_ngrams_center() is None
     assert get_visual_header_ngrams(axis="horz") is None
     assert get_visual_distance(axis="vert") is None
+
+
+def test_min_range_diff_reference_vectors():
+    """The reference's full test-vector table for _min_range_diff
+    (tests/utils/test_utils_table.py:7-25) plus the min_row/col_diff
+    wrappers."""
+    from fonduer_spark.data_model_utils import (
+        min_col_diff, min_range_diff, min_row_diff)
+
+    assert min_range_diff((0, 5), (0, 5)) == 0
+    assert min_range_diff((1, 5), (3, 6)) == 0
+    assert min_range_diff((1, 2), (2, 3)) == 0
+    assert min_range_diff((3, 6), (1, 4)) == 0
+    assert min_range_diff((1, 2), (3, 4)) == 1
+    assert min_range_diff((3, 4), (1, 2)) == 1
+    assert min_range_diff((3, 4), (1, 2), absolute=False) == 1
+    assert min_range_diff((1, 2), (3, 4), absolute=False) == -1
+    assert min_range_diff((0, 5), (0, 5), (0, 5)) == 0
+    assert min_range_diff((1, 5), (3, 6), (2, 4)) == 0
+    assert min_range_diff((3, 4), (1, 2), (4, 5)) == 1
+    assert min_range_diff((1, 2), (3, 4), (5, 6), absolute=False) == -1
+    assert min_range_diff((1, 2), (3, 4), (4, 6), absolute=False) == 0
+    assert min_range_diff((1, 2), (3, 4), (4, 6), (5, 8),
+                          absolute=False) == 0
+    assert min_row_diff([(1, 2), (3, 4)]) == 1
+    assert min_col_diff([(0, 5), (2, 3)], absolute=False) == 0
+
+
+def test_confusion_matrix_and_label_shift():
+    """Reference learning/utils confusion_matrix (tests/learning/
+    test_utils.py) and utils_udf shift/unshift roundtrip (tests/utils/
+    test_utils_udf.py:9-26, scipy-free)."""
+    import numpy as np
+
+    from fonduer_spark.learning import (
+        confusion_matrix, shift_label_matrix, unshift_label_matrix)
+
+    pred, gold = {1, 2, 3}, {1, 2, 4}
+    assert confusion_matrix(pred, gold) == ({1, 2}, {3}, {4})
+    assert confusion_matrix([3, 2, 1], gold) == ({1, 2}, {3}, {4})
+    assert confusion_matrix({"1", "2", "3"}, {"1", "2", "4"}) == (
+        {"1", "2"}, {"3"}, {"4"})
+
+    L = np.array([[-1, 0], [1, -1]])
+    L_shifted = shift_label_matrix(L)
+    assert np.array_equal(L, unshift_label_matrix(L_shifted))
+    assert np.count_nonzero(L_shifted) == 2
