@@ -168,3 +168,53 @@ def test_featurize_caches_sentence_slice(spark):
     plan = plan_of(featurize(st["candidates"], st["sentences"]))
     assert "InMemoryTableScan" in plan
     st["mentions"].unpersist()
+
+
+def test_triplet_fit_is_single_aggregation(spark):
+    """The triplet label-model fit collects ONE aggregate row (k^2 scalar
+    moments), never per-candidate data: the moment frame's plan is a
+    two-stage HashAggregate over the candidate scan with no Python stage
+    and no join."""
+    from pyspark.sql import functions as F
+
+    from fonduer_spark.labeling import _eval_lfs, _pm_cols
+
+    df = spark.createDataFrame(
+        [("c%d" % i, i % 2, (i // 2) % 2, (i // 4) % 2) for i in range(64)],
+        "candidate_sid string, va int, vb int, vc int")
+    lfs = {"a": F.col("va"), "b": F.col("vb"), "c": F.col("vc")}
+    ev = _eval_lfs(df, lfs)
+    pm = _pm_cols(sorted(lfs))
+    agg = ev.agg(*[F.sum(pm[x] * pm[y]).alias(f"m_{x}{y}")
+                   for x, y in (("a", "b"), ("a", "c"), ("b", "c"))])
+    plan = plan_of(agg)
+    tree = plan.split("\n\n")[0]
+    assert "HashAggregate" in plan
+    assert "MapInPandas" not in tree and "BatchEvalPython" not in tree
+    assert "Join" not in tree  # moments come from one pass, no self-join
+    assert agg.count() == 1
+
+
+def test_snapshot_merge_broadcasts_small_batch(spark, tmp_path):
+    """SnapshotTable.merge: with a small incremental batch, the carried-over
+    side plans a BROADCAST left-anti join against the new keys (the
+    committed snapshot is never shuffled) — the plan shape kg_incremental
+    relies on at scale."""
+    from pyspark.sql import functions as F
+
+    from fonduer_spark.checkpoints import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "m")
+    big = spark.range(5000).select(
+        F.col("id").alias("k"), F.lit("old").alias("v"))
+    t.commit(big)
+    new = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("new").alias("v"))
+    old = t.read(spark)
+    carried = old.join(new.select("k").distinct(), ["k"], "left_anti")
+    plan = plan_of(carried)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    snap = t.merge(new, keys=["k"])
+    assert snap.n_rows == 5000
+    merged = t.read(spark)
+    assert merged.where(F.col("v") == "new").count() == 3
