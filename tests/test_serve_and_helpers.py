@@ -218,3 +218,32 @@ def test_confusion_matrix_and_label_shift():
     L_shifted = shift_label_matrix(L)
     assert np.array_equal(L, unshift_label_matrix(L_shifted))
     assert np.count_nonzero(L_shifted) == 2
+
+
+def test_general_utils_surface(spark):
+    """The reference's small public helper surface (utils/utils.py,
+    utils_udf.get_docs_from_split): camel_to_under naming, root-major
+    tokens_to_ngrams order, get_as_dict over Spark Rows, and the per-split
+    doc semi-join."""
+    from fonduer_spark.utils import (
+        camel_to_under, get_as_dict, get_docs_from_split, tokens_to_ngrams)
+
+    assert camel_to_under("PartTempVisual") == "part_temp_visual"
+    assert camel_to_under("HTMLDocPreprocessor") == "html_doc_preprocessor"
+    # root-major order: all lengths at root 0 before root 1
+    assert list(tokens_to_ngrams(["a", "b", "c"], n_max=2)) == [
+        "a", "a b", "b", "b c", "c"]
+    assert list(tokens_to_ngrams(["A", "B"], lower=True, delim="_")) == [
+        "a", "a_b", "b"]
+    row = spark.createDataFrame([(1, "x")], "a int, b string").first()
+    assert get_as_dict(row) == {"a": 1, "b": "x"}
+    assert get_as_dict({"k": 1}) == {"k": 1}
+
+    docs = spark.createDataFrame(
+        [("u1", 10), ("u2", 20), ("u3", 30)], "url string, n int")
+    cands = spark.createDataFrame(
+        [("u1", 0), ("u1", 0), ("u3", 1)], "url string, split int")
+    got = {r.url for r in get_docs_from_split(docs, cands, split=0).collect()}
+    assert got == {"u1"}
+    got1 = {r.url for r in get_docs_from_split(docs, cands, split=1).collect()}
+    assert got1 == {"u3"}
