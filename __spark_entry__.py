@@ -1608,6 +1608,64 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN with the deterministic fixed coarse quantizer (the
+    embeddings of ids 0..15): each vector joins its argmin-distance cell,
+    queries probe their 2 nearest cells — O(N * nprobe / n_centroids) work
+    per query. The oracle replays the assignment exactly: the injected
+    ||c||^2 literals, the -2*dot distances via the sequential-fold dot, the
+    (distance, index) tie order, the probe set, the cosine scores and the
+    ranks."""
+    return sim.ivf_bucketed_ann(
+        _emb(spark, sf_dir), _QUERY_IDS, dim=64, k=5,
+        n_centroids=16, nprobe=2,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SIM_ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS j, v AS c FROM e WHERE vec_id < 16),
+a AS (
+  SELECT e.vec_id, e.v, cents.j,
+         ({_duck_dot('cents.c', 'cents.c')})
+         - 2 * ({_duck_dot('e.v', 'cents.c')}) AS d
+  FROM e CROSS JOIN cents
+),
+ranked_cells AS (
+  SELECT vec_id, v, j,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+  FROM a
+),
+assign AS (SELECT vec_id, v, j AS cell FROM ranked_cells WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, j AS cell
+  FROM ranked_cells
+  WHERE rn <= 2 AND vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round({_duck_dot('p.qv', 'c.v')} /
+               (sqrt({_duck_dot('p.qv', 'p.qv')}) *
+                sqrt({_duck_dot('c.v', 'c.v')})), 6) AS score
+  FROM probes p JOIN assign c USING (cell) WHERE c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 _SIM_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings
@@ -2042,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity family
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         # multimodal family
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
@@ -2106,6 +2165,7 @@ def oracle_sql() -> dict[str, str]:
         "text_curate": _TEXT_CURATE_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_ann_lsh": _SIM_ANN_LSH_SQL,
+        "sim_ann_ivf": _SIM_ANN_IVF_SQL,
         "mm_meta": _MM_META_SQL,
         "mm_features": _MM_FEATURES_SQL,
         "rel_agg": _REL_AGG_SQL,

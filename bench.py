@@ -134,6 +134,10 @@ def main_bench(cores: int, sf_dir: str) -> dict:
            for r in _sim.lsh_bucketed_ann(emb, qids, dim=64, k=5, n_planes=3,
                                           multiprobe=1).collect()}
     ann_recall = round(len(ann & exact) / max(1, len(exact)), 3)
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in _sim.ivf_bucketed_ann(emb, qids, dim=64, k=5,
+                                          n_centroids=16, nprobe=2).collect()}
+    ivf_recall = round(len(ivf & exact) / max(1, len(exact)), 3)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -148,6 +152,7 @@ def main_bench(cores: int, sf_dir: str) -> dict:
         "docs_per_sec": round(n_docs / wall, 2),
         "triples_per_sec": round(n_triples / wall, 2),
         "sim_ann_recall_at5": ann_recall,
+        "sim_ivf_recall_at5": ivf_recall,
         "capped_kernels": capped,
         "skew": skew,
     }

@@ -176,6 +176,91 @@ def lsh_bucket_ids(
     return emb.withColumn("bucket", bucket(F.col(vec_col)))
 
 
+def ivf_assignment_structs(vec_col: Column,
+                           centroids: List[tuple]) -> List[Column]:
+    """Per-centroid (distance, index) structs for IVF assignment, as pure
+    column arithmetic: d_j = ||c_j||^2 - 2 * v.c_j (the ||v||^2 term is
+    constant per row, so argmin is unchanged). ||c_j||^2 is injected as a
+    literal computed with the SAME sequential left fold the engines use,
+    so Spark and the DuckDB oracle see bit-identical distances; -2* is an
+    exact IEEE scaling. Struct ordering (d, then j) makes ties resolve to
+    the lowest centroid index in both engines."""
+    out = []
+    for j, (cid, cvec) in enumerate(centroids):
+        c = [float(x) for x in cvec]
+        cc = 0.0
+        for x in c:
+            cc = cc + x * x  # sequential fold, matches list_reduce order
+        lit = F.array(*[F.lit(x) for x in c])
+        d = F.lit(cc) - F.lit(2.0) * dot(vec_col, lit)
+        out.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+    return out
+
+
+def ivf_bucketed_ann(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    dim: int,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: an inverted-file index over a coarse
+    quantizer — every vector is assigned to its nearest centroid cell ONCE
+    (one pass, no shuffle beyond the final top-k), and a query scans only
+    its ``nprobe`` nearest cells: O(N * nprobe / n_centroids) candidate
+    work per query instead of a full scan. The standard ANN scale path
+    alongside sign-LSH (lsh_bucketed_ann); nprobe is the recall knob.
+
+    The coarse quantizer here is FIXED — the embeddings of the first
+    ``n_centroids`` ids — rather than k-means-trained: the assignment
+    becomes a deterministic closed form both engines reproduce bit-for-bit
+    (the oracle replays it in SQL), while the plumbing (assign -> cell
+    join -> verify -> top-k window) is exactly what a trained quantizer
+    would use — swapping in pyspark.ml KMeans centroids is a one-list
+    change broadcast the same way.
+
+    Output shape matches cosine_topk; scores are exact cosines of the
+    probed candidates.
+    """
+    cents = [
+        (r[0], list(r[1])) for r in
+        emb.where(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col).orderBy(id_col).collect()
+    ]
+    v = F.col(vec_col)
+    structs = ivf_assignment_structs(v, cents)
+    arr = F.array(*structs)
+    bucketed = emb.withColumn("cell", F.least(*structs)["j"])
+    probes = F.transform(
+        F.slice(F.array_sort(arr), 1, nprobe), lambda s: s["j"])
+    q = (
+        bucketed.where(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("query_id"), v.alias("qv"),
+                F.explode(probes).alias("cell"))
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        "cell",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def lsh_bucketed_ann(
     emb: DataFrame,
     query_ids: Sequence[int],

@@ -246,3 +246,32 @@ def test_cosine_topk_guard_large_query_set(spark, emb):
     # explicit opt-out still works for small corpora
     out = sim.cosine_topk(emb, [0, 1], k=1, max_queries=2)
     assert out.count() == 2
+
+
+def test_ivf_ann_subset_of_brute_with_recall(spark, emb):
+    """IVF-bucketed ANN returns exact cosines for the candidates it probes
+    (identical rounded scores to brute force on shared pairs), respects the
+    nprobe recall knob (more probes => recall monotonically non-decreasing),
+    and never plans a cartesian product."""
+    brute = {(r.query_id, r.neighbor_id): r.score
+             for r in sim.cosine_topk(emb, [0, 5, 9], k=5).collect()}
+    got1, got4 = [
+        {(r.query_id, r.neighbor_id): r.score
+         for r in sim.ivf_bucketed_ann(
+             emb, [0, 5, 9], dim=64, k=5, n_centroids=8,
+             nprobe=p).collect()}
+        for p in (1, 4)
+    ]
+    for k, v in got4.items():
+        if k in brute:
+            assert brute[k] == v  # identical rounded cosines
+    r1 = len(set(got1) & set(brute)) / len(brute)
+    r4 = len(set(got4) & set(brute)) / len(brute)
+    assert r4 >= r1  # nprobe is the recall knob
+    assert r4 >= 0.3  # sane floor on the fixture
+
+    plan = sim.ivf_bucketed_ann(emb, [0], dim=64, k=3)._sc._jvm \
+        .PythonSQLUtils.explainString(
+            sim.ivf_bucketed_ann(emb, [0], dim=64, k=3)
+            ._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan.split("\n\n")[0]
