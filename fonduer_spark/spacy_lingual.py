@@ -45,6 +45,11 @@ class SpacyLingualParser(LingualParser):
             if not toks:
                 continue
             offset0 = sent.start_char
+            # Reference head convention (spacy_parser.py:162-165): 1-based
+            # index of the head within the sentence, 0 for the root — keyed
+            # on the space-filtered positions so dropped whitespace tokens
+            # never shift a head index.
+            pos1 = {t.i: k + 1 for k, t in enumerate(toks)}
             yield {
                 "text": sent.text,
                 "words": [t.text for t in toks],
@@ -53,7 +58,10 @@ class SpacyLingualParser(LingualParser):
                 "lemmas": [t.lemma_ for t in toks],
                 "pos_tags": [t.pos_ for t in toks],
                 "ner_tags": [t.ent_type_ for t in toks],
-                "dep_parents": [t.head.i - sent.start for t in toks],
+                "dep_parents": [
+                    0 if t.head is t else pos1.get(t.head.i, 0)
+                    for t in toks
+                ],
                 "dep_labels": [t.dep_ for t in toks],
             }
 

@@ -76,9 +76,15 @@ def check_contract(parser: LingualParser, text: str):
         else:
             assert all(lm == "" for lm in s["lemmas"])
         all_words.extend(s["words"])
-    # 6. sentence boundaries pin to the input: every non-delimiter token of
-    #    the input survives, in order (tokenizer-support parsers only)
+    # 6a. all tokenizers: the concatenated words are a character
+    #     subsequence of the input (no invented characters, order kept)
     if parser.has_tokenizer_support():
+        it = iter(text)
+        assert all(c in it for c in "".join(all_words))
+    # 6b. delimiter-split family: every non-delimiter token survives
+    #     verbatim, in order (spaCy-style tokenizers may split further,
+    #     so 6b applies only to the SimpleParser family)
+    if isinstance(parser, SimpleParser):
         expect = [t for raw in text.split(".") for t in raw.split()]
         assert all_words == [w for w in expect if w]
     return sents
