@@ -669,6 +669,54 @@ FROM all_docs GROUP BY 1 ORDER BY 1
 """
 
 
+def q_stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation running as a REAL STREAM,
+    oracle-checked: the events table replayed as parquet micro-batches
+    (maxFilesPerTrigger bounds each trigger), a 1-day tumbling window with
+    a watermark spanning the dataset (so state never expires and the final
+    update per window equals the batch aggregate), update-mode sink via
+    foreachBatch, and the recovered final state per (window, type) — each
+    update strictly grows n_events, so max_by(n_events) is the last write —
+    must match the batch GROUP BY oracle exactly. The late-data DROP
+    behavior (short watermark, controlled trigger order) is exercised in
+    test_streaming_api."""
+    import os
+    import tempfile
+
+    from fonduer_spark.streaming import (
+        run_stream_updates_to_parquet, windowed_event_counts)
+
+    tmp = tempfile.mkdtemp(prefix="kgevw_")
+    # watermarks require TIMESTAMP (the parquet column is TIMESTAMP_NTZ);
+    # the session timezone is pinned UTC so the cast preserves wall time
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value")
+    # several files -> several micro-batches
+    ev.repartition(8).write.parquet(os.path.join(tmp, "in"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(os.path.join(tmp, "in"))
+    )
+    agg = windowed_event_counts(stream, window="1 day",
+                                watermark="36500 days")
+    run_stream_updates_to_parquet(
+        agg, os.path.join(tmp, "out"), os.path.join(tmp, "cp"))
+    out = spark.read.parquet(os.path.join(tmp, "out"))
+    final = (
+        out.groupBy("window_start", "event_type")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select(
+            "event_type",
+            F.col("window_start").cast("timestamp_ntz").alias("day"),
+            F.col("s.n_events").cast("long").alias("n_events"),
+            F.col("s.sum_value").alias("sum_value"),
+        )
+    )
+    return final.orderBy("event_type", "day")
+
+
 def q_kg_nary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-ary (ternary) candidate extraction, oracle-checked: one
     (part, tmin, tmax) candidate per body row via extract_candidates_nary
@@ -2073,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_features_lingual": q_kg_features_lingual,
         "kg_stream_mentions": q_kg_stream_mentions,
         "stream_dedup": q_stream_dedup,
+        "stream_events_window": q_stream_events_window,
         "kg_nary": q_kg_nary,
         "kg_part_mentions": q_kg_part_mentions,
         "kg_candidates_per_doc": q_kg_candidates_per_doc,
@@ -2143,6 +2192,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_features_lingual": _KG_FEATURES_LINGUAL_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
+        "stream_events_window": _REL_EVENTS_SQL,
         "kg_nary": _KG_NARY_SQL,
         "kg_entities": _KG_ENTITIES_SQL,
         "kg_part_mentions": _KG_PART_MENTIONS_SQL,

@@ -179,3 +179,48 @@ def test_label_model_facade(spark):
         LabelModel(spark, cardinality=3)
     with pytest.raises(ValueError, match="fit"):
         LabelModel(spark).predict_proba(df)
+
+
+def test_windowed_watermark_append_finality(spark, tmp_path):
+    """Watermark semantics as this Spark actually implements them
+    (empirically verified; the guarantee is one-directional — data later
+    than the watermark may or may not be dropped): with a 2-day watermark
+    and 1-day windows, after a day-10 batch advances the watermark to
+    day 8, a late day-1 batch lands in a window that is ALREADY FINAL —
+    append mode emits it immediately and exactly once, while the day-10
+    window stays open (it may still receive data) and is withheld from the
+    append sink. The contract query stream_events_window therefore uses a
+    dataset-spanning watermark + update-mode final state, which equals the
+    batch aggregate regardless of these finality rules."""
+    import datetime as dt
+    import time as _time
+
+    from fonduer_spark.streaming import (
+        run_stream_to_parquet, windowed_event_counts)
+
+    in_dir = str(tmp_path / "in")
+    ts10 = dt.datetime(2026, 1, 10, 12, 0, 0)
+    ts01 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows10 = [(i, ts10, "a", 1.0) for i in range(3)]
+    rows01 = [(100 + i, ts01, "a", 1.0) for i in range(2)]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    spark.createDataFrame(rows10, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)  # distinct mtimes => deterministic trigger order
+    spark.createDataFrame(rows01, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    agg = windowed_event_counts(stream, window="1 day", watermark="2 days")
+    run_stream_to_parquet(
+        agg, str(tmp_path / "out"), str(tmp_path / "cp"))
+    out = spark.read.parquet(str(tmp_path / "out"))
+    days = {r.window_start.day: r.n_events for r in out.collect()}
+    # the already-final day-1 window emitted once; the open day-10 window
+    # is withheld by append-mode finality
+    assert days == {1: 2}
