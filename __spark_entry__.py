@@ -1771,6 +1771,41 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing, oracle-checked: documents typed as
+    video blobs (duration = 10 ms/char), sampled at 1 frame/s inside
+    mapInPandas — each blob expands partition-locally into its frame grid;
+    the oracle reproduces the grid from length(text) and the fake frame
+    hash as md5(md5(text || ':' || idx))."""
+    media = mm.media_from_docs(_docs(spark, sf_dir), with_duration=True)
+    frames = mm.sample_frames(media, every_ms=1000)
+    return (
+        frames.select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("t_ms").cast("long").alias("t_ms"),
+            "frame_hash",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+_MM_FRAMES_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id, text, length(text) * 10 AS dur FROM documents
+),
+f AS (
+  SELECT media_id, text,
+         unnest(range(0, dur // 1000)) AS i
+  FROM d WHERE dur >= 1000
+)
+SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 1000 AS BIGINT) AS t_ms,
+       md5(md5(text || ':' || CAST(i AS VARCHAR))) AS frame_hash
+FROM f ORDER BY media_id, frame_idx
+"""
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction, canonicalized: the fake decoder derives
     each feature i from md5(payload) bytes [2i, 2i+2) as round(int/65536, 6);
@@ -2153,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal family
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
         # classic relational operators
         "rel_agg": q_rel_agg,
         "rel_join": q_rel_join,
@@ -2218,6 +2254,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf": _SIM_ANN_IVF_SQL,
         "mm_meta": _MM_META_SQL,
         "mm_features": _MM_FEATURES_SQL,
+        "mm_frames": _MM_FRAMES_SQL,
         "rel_agg": _REL_AGG_SQL,
         "rel_join": _REL_JOIN_SQL,
         "rel_filter_agg": _REL_FILTER_AGG_SQL,

@@ -40,17 +40,24 @@ _FEAT_SCHEMA = T.StructType([
 
 
 def media_from_docs(docs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    with_duration: bool = False) -> DataFrame:
     """Synthesize a media table from the documents table (payload = utf-8
-    bytes of the text): exercises the binary-column plumbing end to end."""
+    bytes of the text): exercises the binary-column plumbing end to end.
+    ``with_duration=True`` types the rows as video with a deterministic
+    duration (10 ms per payload character) so frame sampling has metadata
+    to plan against."""
+    dur = (F.length(F.col(text_col)) * 10).cast("int") if with_duration \
+        else F.lit(None).cast("int")
+    kind = "video" if with_duration else "image"
     return docs.select(
         F.col(id_col).alias("media_id"),
-        F.lit("image").alias("kind"),
+        F.lit(kind).alias("kind"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("int").alias("duration_ms"),
+        dur.alias("duration_ms"),
     )
 
 
@@ -86,3 +93,93 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
             })
 
     return media.select("media_id", "kind", "payload").mapInPandas(fn, _FEAT_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  decoder: str = "fake") -> DataFrame:
+    """Image resize plumbing: binary in -> binary out with updated dims,
+    one Arrow batch at a time, partition-local (no shuffle). The pixel
+    transform is the stub (``decoder="real"`` raises — no image libs
+    here); the fake path emits a deterministic payload
+    (md5 of payload:WxH, hex bytes) so tests pin the batch shape and
+    the metadata update end to end."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "image decode/resize libraries are not available in "
+                    "this container; plug a real resizer here")
+            out_payload = [
+                hashlib.md5(
+                    bytes(p or b"") + f":{width}x{height}".encode()
+                ).hexdigest().encode()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "width": width, "height": height,
+                "payload": out_payload,
+            })
+
+    return media.select("media_id", "payload").mapInPandas(fn, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("t_ms", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+    T.StructField("frame_hash", T.StringType(), True),
+])
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  decoder: str = "fake") -> DataFrame:
+    """Video frame sampling: each blob row expands into one row per sampled
+    timestamp (t = 0, every_ms, ... < duration_ms) inside mapInPandas —
+    partition-local fan-out whose factor is bounded by every_ms, no shuffle
+    before downstream feature extraction. The sampling PLAN comes from the
+    duration metadata alone (no decode needed to know the frame grid); the
+    per-frame decode is the stub: ``decoder="real"`` raises, the fake path
+    emits a deterministic frame payload (hex md5 of "text:idx" for utf-8
+    payloads) whose hash the SQL oracle reproduces as md5(md5(text||':'||i))."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "video decode libraries are not available in this "
+                    "container; plug a real frame extractor here")
+            ids, idxs, ts, frames, hashes = [], [], [], [], []
+            for mid, payload, dur in zip(
+                    pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                n = 0 if dur is None or pd.isna(dur) \
+                    else int(dur) // every_ms
+                raw = bytes(payload or b"")
+                for i in range(n):
+                    frame = hashlib.md5(
+                        raw + b":" + str(i).encode()).hexdigest().encode()
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    ts.append(i * every_ms)
+                    frames.append(frame)
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "t_ms": pd.Series(ts, dtype="int32"),
+                "frame": frames,
+                "frame_hash": hashes,
+            })
+
+    return media.select("media_id", "payload", "duration_ms") \
+        .mapInPandas(fn, _FRAME_SCHEMA)

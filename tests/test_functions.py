@@ -275,3 +275,43 @@ def test_ivf_ann_subset_of_brute_with_recall(spark, emb):
             sim.ivf_bucketed_ann(emb, [0], dim=64, k=3)
             ._jdf.queryExecution(), "formatted")
     assert "CartesianProduct" not in plan.split("\n\n")[0]
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize + frame-sample plumbing (the brief's multimodal op list):
+    binary in -> binary out with updated dims; video blobs expand into
+    their frame grid partition-locally; both stubs raise for decoder='real'
+    and stay deterministic for the fake path."""
+    import hashlib
+
+    import pytest
+
+    from fonduer_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 2500), (2, "y" * 900), (3, "z" * 1000)],
+        "doc_id long, text string")
+    media = mm.media_from_docs(docs, with_duration=True)
+    assert media.first().kind == "video"
+
+    rz = mm.resize_images(media, width=32, height=16).collect()
+    assert {(r.width, r.height) for r in rz} == {(32, 16)}
+    want = hashlib.md5(b"x" * 2500 + b":32x16").hexdigest().encode()
+    assert {r.media_id: bytes(r.payload) for r in rz}[1] == want
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        mm.resize_images(media, decoder="real").collect()
+
+    fr = mm.sample_frames(media, every_ms=1000)
+    rows = fr.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append((r.frame_idx, r.t_ms))
+    # duration = 10ms/char: 25000ms -> 25 frames, 9000 -> 9, 10000 -> 10
+    assert {k: len(v) for k, v in per.items()} == {1: 25, 2: 9, 3: 10}
+    assert sorted(per[2]) == [(i, i * 1000) for i in range(9)]
+    f0 = [r for r in rows if r.media_id == 3 and r.frame_idx == 0][0]
+    frame = hashlib.md5(b"z" * 1000 + b":0").hexdigest().encode()
+    assert bytes(f0.frame) == frame
+    assert f0.frame_hash == hashlib.md5(frame).hexdigest()
+    with pytest.raises(Exception, match="NotImplementedError|frame"):
+        mm.sample_frames(media, decoder="real").collect()
