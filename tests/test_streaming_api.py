@@ -224,3 +224,32 @@ def test_windowed_watermark_append_finality(spark, tmp_path):
     # the already-final day-1 window emitted once; the open day-10 window
     # is withheld by append-mode finality
     assert days == {1: 2}
+
+
+def test_meta_lifecycle(spark, tmp_path):
+    """Meta.init(warehouse).Session() — the reference's bootstrap call
+    shape (meta.py:60-160) over the Spark engine; pipeline() opens a
+    checkpointed run against the warehouse; re-init elsewhere raises until
+    reset."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fonduer_spark.meta import Meta
+
+    Meta.reset()
+    try:
+        wh = str(tmp_path / "wh")
+        assert Meta.init(wh).Session() is not None
+        s = Meta.Session()
+        assert s.range(3).count() == 3
+        cp = Meta.pipeline("run-1")
+        out = cp.stage("nums", lambda: s.range(5).select(
+            F.col("id").cast("long").alias("id")))
+        assert out.count() == 5
+        # resume: same signature skips the recompute
+        cp2 = Meta.pipeline("run-1")
+        assert cp2.stage("nums", lambda: 1 / 0).count() == 5
+        with pytest.raises(ValueError, match="already initialized"):
+            Meta.init(str(tmp_path / "other"))
+    finally:
+        Meta.reset()
