@@ -138,20 +138,50 @@ def _is_column_throttler(thr) -> bool:
     return getattr(thr, "throttler_kind", "column") == "column"
 
 
+FEATURE_LIBS = ("textual", "lingual", "tabular", "structural", "visual")
+
+
+class FeatureExtractor:
+    """Feature-library selection + custom feature functions (reference
+    features/feature_extractors.py:24-69 call shape): ``features`` names
+    the built-in libraries to run, ``customize_feature_funcs`` are
+    callables over the denormalized candidate row dict yielding feature
+    names — executed inside the same Arrow batch as the built-ins."""
+
+    def __init__(self, features: Sequence[str] = ("textual", "tabular",
+                                                  "structural", "visual"),
+                 customize_feature_funcs=()) -> None:
+        if callable(customize_feature_funcs):
+            customize_feature_funcs = [customize_feature_funcs]
+        for f in features:
+            if f not in FEATURE_LIBS:
+                raise ValueError(f"Unrecognized feature type: {f}")
+        self.libs = tuple(features)
+        self.custom = tuple(customize_feature_funcs)
+
+
 class Featurizer:
-    """Featurizer(spark, feature_libs=[...]) — reference features/
-    featurizer.py:33-146 shape."""
+    """Featurizer(spark, feature_libs=[...] | feature_extractor=...) —
+    reference features/featurizer.py:33-146 shape; pass a FeatureExtractor
+    to select libraries and add custom feature functions."""
 
     def __init__(self, spark: SparkSession,
                  feature_libs: Sequence[str] = ("textual", "tabular",
-                                                "structural")) -> None:
+                                                "structural"),
+                 feature_extractor: Optional[FeatureExtractor] = None) -> None:
         self.spark = spark
-        self.libs = tuple(feature_libs)
+        if feature_extractor is not None:
+            self.libs = feature_extractor.libs
+            self.custom = feature_extractor.custom
+        else:
+            self.libs = tuple(feature_libs)
+            self.custom = ()
 
     def apply(self, candidates: DataFrame,
               sentences: Optional[DataFrame] = None,
               train: bool = False) -> DataFrame:
-        feats = featurize(candidates, sentences, libs=self.libs)
+        feats = featurize(candidates, sentences, libs=self.libs,
+                          custom=self.custom)
         if train:
             self.key_table = feature_keys(feats)
         return feats

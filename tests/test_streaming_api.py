@@ -253,3 +253,39 @@ def test_meta_lifecycle(spark, tmp_path):
             Meta.init(str(tmp_path / "other"))
     finally:
         Meta.reset()
+
+
+def test_feature_extractor_facade(spark):
+    """api.FeatureExtractor (reference feature_extractors.py call shape):
+    selects libraries, validates names, and threads custom feature
+    functions into the same Arrow batch as the built-ins."""
+    import pytest
+
+    from fonduer_spark.api import FeatureExtractor, Featurizer
+
+    with pytest.raises(ValueError, match="Unrecognized"):
+        FeatureExtractor(features=["textual", "nope"])
+
+    def my_feat(row):
+        if row.get("a_span_text"):
+            yield f"CUSTOM_LEN_{len(row['a_span_text'])}"
+
+    pages = make_web_pages(spark, SF, max_docs=4)
+    parsed = Parser(spark).apply(pages)
+    me = MentionExtractor(
+        spark, ["part", "temp"],
+        [MentionNgrams(n_max=1), MentionNgrams(n_max=1)],
+        [RegexMatchSpan(rgx=PART_RGX, ignore_case=False),
+         RegexMatchSpan(rgx=TEMP_RGX, ignore_case=False)],
+    )
+    mentions = me.apply(Parser.get_sentences(parsed))
+    cands = CandidateExtractor(
+        spark, [("part_temp", "part", "temp")],
+        throttlers=[same_row]).apply(mentions)
+    fe = FeatureExtractor(features=["textual"],
+                          customize_feature_funcs=my_feat)
+    feats = Featurizer(spark, feature_extractor=fe).apply(cands)
+    keys = {k for r in feats.select("keys").collect() for k in r.keys}
+    assert any(k.startswith("CUSTOM_LEN_") for k in keys)
+    assert any("CONTAINS" in k for k in keys)      # textual ran
+    assert not any(k.startswith("e0_ROW_") for k in keys)  # tabular off
