@@ -1173,6 +1173,19 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs under Kirsch-Mitzenmacher double hashing — ONE
+    md5 per shingle (vs k in the md5 family; the digest parse runs once in
+    a codegen Project, the k mins are integer arithmetic), oracle-checked
+    via hex-nibble parsing of the same digest halves in SQL."""
+    return dd.minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=16, bands=8, family="km"
+    ).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All-pairs Jaccard is O(sum df^2) by nature — bounded here to a fixed
     # doc subset; at corpus scale near-dup detection goes through
@@ -1320,6 +1333,44 @@ WITH sh AS (
 ),
 sig AS (SELECT doc, {_LSH_SIG_COLS} FROM sh),
 keyed AS (SELECT doc, unnest([{_LSH_BAND_KEYS}]) AS bk FROM sig)
+SELECT DISTINCT CAST(x.doc AS BIGINT) AS a, CAST(y.doc AS BIGINT) AS b
+FROM keyed x JOIN keyed y USING (bk) WHERE x.doc < y.doc
+ORDER BY a, b
+"""
+
+def _duck_hex8(expr: str, off: int) -> str:
+    """Parse 8 hex chars of a digest string (1-based ``off``) into an
+    integer — nibble-by-nibble strpos arithmetic, the same trick as the
+    SimHash oracle."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {off + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)) + ")"
+
+
+# dedup_minhash_km oracle: ONE md5 per shingle split into two 32-bit
+# halves, h_i = (h1 + i*h2) mod 2^32 (Kirsch-Mitzenmacher double hashing)
+# — integer mins, then the same band-key join as the md5 family.
+_KM_SIG_COLS = ",\n    ".join(
+    f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(_LSH_K)
+)
+_KM_BAND_KEYS = ", ".join(
+    "'" + str(b) + "' || '|' || "
+    + " || '|' || ".join(
+        f"CAST(h{b * _LSH_ROWS + j} AS VARCHAR)" for j in range(_LSH_ROWS))
+    for b in range(_LSH_BANDS)
+)
+_DEDUP_MINHASH_KM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, {_DD_SHINGLES3} AS shingles FROM documents
+),
+ex AS (SELECT doc, unnest(shingles) AS s FROM sh),
+hh AS (
+  SELECT doc, {_duck_hex8('md5(s)', 1)} AS h1, {_duck_hex8('md5(s)', 9)} AS h2
+  FROM ex
+),
+sig AS (SELECT doc, {_KM_SIG_COLS} FROM hh GROUP BY doc),
+keyed AS (SELECT doc, unnest([{_KM_BAND_KEYS}]) AS bk FROM sig)
 SELECT DISTINCT CAST(x.doc AS BIGINT) AS a, CAST(y.doc AS BIGINT) AS b
 FROM keyed x JOIN keyed y USING (bk) WHERE x.doc < y.doc
 ORDER BY a, b
@@ -2169,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_km": q_dedup_minhash_km,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embcos": q_dedup_embcos,
@@ -2238,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SIG_SQL,
         "dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
+        "dedup_minhash_km": _DEDUP_MINHASH_KM_SQL,
         "dedup_lsh_verified": _DEDUP_LSH_VERIFIED_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embcos": _DEDUP_EMBCOS_SQL,

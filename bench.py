@@ -95,9 +95,9 @@ def main_bench(cores: int, sf_dir: str) -> dict:
     # per query: a single pass records hypervisor-steal spikes as the
     # round's number (r02 recorded a 4.4x steal artifact on
     # dedup_minhash_pairs).
-    heads = ["kg_triples_all", "dedup_minhash_pairs", "dedup_lsh_verified",
-             "dedup_embcos", "sim_topk", "text_quality", "rel_agg",
-             "rel_join"]
+    heads = ["kg_triples_all", "dedup_minhash_pairs", "dedup_minhash_km",
+             "dedup_lsh_verified", "dedup_embcos", "sim_topk",
+             "text_quality", "rel_agg", "rel_join"]
     qs = E.queries()
     for name in heads:
         walls = []

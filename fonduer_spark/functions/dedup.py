@@ -78,6 +78,9 @@ def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
     ])
 
 
+KM_MOD = 1 << 32
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -85,6 +88,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    family: str = "md5",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH.
 
@@ -92,21 +96,46 @@ def minhash_lsh_pairs(
     pairs (a < b), distinct. The quadratic blowup is bounded per bucket; a
     bucket whose size explodes indicates boilerplate text — cap via
     ``spark.sql.adaptive`` skew splitting at scale.
+
+    ``family``:
+    - "md5": k independent salted md5s per shingle (string-min family);
+    - "km": Kirsch-Mitzenmacher double hashing — ONE md5 per shingle split
+      into two 32-bit halves (h1, h2), h_j = (h1 + j*h2) mod 2^32
+      (integer-min family). Hashing cost drops k-fold: the md5+parse runs
+      in a Project stage (whole-stage codegen CSE computes the digest
+      once), and the k mins are pure integer arithmetic in the aggregate.
+      Statistically the standard MinHash construction (Kirsch &
+      Mitzenmacher, "Less Hashing, Same Performance"); still exactly
+      reproducible in SQL via hex-nibble parsing.
     """
     rows = k // bands
     # Relational MinHash: explode shingles ONCE, then one groupBy computing
     # all k mins in a single pass. (A per-row array expression duplicates
     # the whole signature subtree into every band key because Catalyst does
     # not common-subexpression-eliminate across expressions — measured 30x
-    # slower. Explode+agg hashes each shingle exactly k times.)
+    # slower. Explode+agg hashes each shingle exactly k (md5) or 1 (km)
+    # times.)
     ex = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
-    sig = ex.groupBy("doc").agg(*[
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(k)
-    ])
+    if family == "km":
+        h = F.md5("s")
+        hashed = ex.select(
+            "doc",
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        sig = hashed.groupBy("doc").agg(*[
+            F.min(F.pmod(F.col("h1") + i * F.col("h2"), F.lit(KM_MOD)))
+            .alias(f"h{i}")
+            for i in range(k)
+        ])
+    else:
+        sig = ex.groupBy("doc").agg(*[
+            F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(k)
+        ])
     band_keys = F.array(*[
         F.concat_ws("|", F.lit(str(b)),
                     *[F.col(f"h{b * rows + j}") for j in range(rows)])

@@ -218,3 +218,20 @@ def test_snapshot_merge_broadcasts_small_batch(spark, tmp_path):
     assert snap.n_rows == 5000
     merged = t.read(spark)
     assert merged.where(F.col("v") == "new").count() == 3
+
+
+def test_minhash_km_single_digest_plan(spark):
+    """The Kirsch-Mitzenmacher MinHash family must hash each shingle ONCE:
+    its plan mentions md5 only in the two digest-half projections, while
+    the md5 family's aggregate carries one salted md5 per signature slot
+    (k=16) — the k-fold hashing reduction is structural, not incidental."""
+    from fonduer_spark.functions import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    km = dd.minhash_lsh_pairs(docs, k=16, bands=8, family="km")
+    md = dd.minhash_lsh_pairs(docs, k=16, bands=8, family="md5")
+    km_plan, md_plan = plan_of(km), plan_of(md)
+    assert km_plan.count("md5") <= 4, km_plan.count("md5")
+    assert md_plan.count("md5") >= 16
+    # same bucketed join shape, and a deterministic pair set
+    assert sorted(map(tuple, km.collect())) == sorted(map(tuple, km.collect()))
