@@ -1513,6 +1513,47 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction, oracle-checked: deterministic synthetic PII (an email
+    and an 8-digit account number derived from doc_id) appended to every
+    document, then masked by scrub_pii — regex families chosen to behave
+    identically under Java regex and RE2, so the oracle reproduces the
+    masked text md5 and the per-kind counts exactly."""
+    d = _docs(spark, sf_dir)
+    pii_text = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or call "),
+        (F.col("doc_id") * 7919 + F.lit(10_000_000)).cast("string"),
+        F.lit(" now"),
+    )
+    counts = ts.pii_counts(pii_text)
+    return d.select(
+        "doc_id",
+        F.md5(ts.scrub_pii(pii_text)).alias("scrubbed_md5"),
+        counts.getField("n_emails").cast("long").alias("n_emails"),
+        counts.getField("n_digit_runs").cast("long").alias("n_digit_runs"),
+    ).orderBy("doc_id")
+
+
+_TEXT_PII_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or call '
+         || CAST(doc_id * 7919 + 10000000 AS VARCHAR) || ' now' AS t
+  FROM documents
+)
+SELECT doc_id,
+  md5(regexp_replace(
+        regexp_replace(t, '{ts.EMAIL_RGX}', '<EMAIL>', 'g'),
+        '{ts.LONG_DIGITS_RGX}', '<DIGITS>', 'g')) AS scrubbed_md5,
+  CAST(len(regexp_extract_all(t, '{ts.EMAIL_RGX}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{ts.LONG_DIGITS_RGX}')) AS BIGINT)
+    AS n_digit_runs
+FROM p ORDER BY doc_id
+"""
+
+
 def q_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSITE training-data curation pass, oracle-checked: quality
     stats + language-ID + exact-dedup canonicalization composed into the
@@ -2233,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_repetition": q_text_repetition,
         "text_curate": q_text_curate,
+        "text_pii": q_text_pii,
         # similarity family
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -2302,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _BPE_TOKENS_SQL,
         "text_repetition": _REPETITION_SQL,
         "text_curate": _TEXT_CURATE_SQL,
+        "text_pii": _TEXT_PII_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_ann_lsh": _SIM_ANN_LSH_SQL,
         "sim_ann_ivf": _SIM_ANN_IVF_SQL,

@@ -168,3 +168,32 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
     return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data curation): mask emails and long digit runs
+# with regex families chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB with the 'g' flag) — no lookaround, no backrefs.
+# ---------------------------------------------------------------------------
+EMAIL_RGX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_RGX = r"\b\d{7,}\b"
+
+
+def pii_counts(text: Column) -> Column:
+    """(n_emails, n_long_digit_runs) as a struct — regexp_count is
+    JVM-side; DuckDB mirrors it with len(regexp_extract_all)."""
+    return F.struct(
+        F.regexp_count(text, F.lit(EMAIL_RGX)).alias("n_emails"),
+        F.regexp_count(text, F.lit(LONG_DIGITS_RGX)).alias("n_digit_runs"),
+    )
+
+
+def scrub_pii(text: Column,
+              email_token: str = "<EMAIL>",
+              digits_token: str = "<DIGITS>") -> Column:
+    """Masked text: emails first (so their digits can't double-match),
+    then standalone runs of 7+ digits (phone/account-shaped). Pure
+    regexp_replace column expressions — whole-stage codegen, order
+    deterministic and reproduced by the oracle."""
+    no_email = F.regexp_replace(text, EMAIL_RGX, email_token)
+    return F.regexp_replace(no_email, LONG_DIGITS_RGX, digits_token)

@@ -315,3 +315,23 @@ def test_multimodal_resize_and_frames(spark):
     assert f0.frame_hash == hashlib.md5(frame).hexdigest()
     with pytest.raises(Exception, match="NotImplementedError|frame"):
         mm.sample_frames(media, decoder="real").collect()
+
+
+def test_pii_scrub(spark):
+    """PII redaction semantics: emails mask before digit runs (an email's
+    digits never double-match), short digit runs survive, counts align."""
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-corp.io or 12345678 now, keep 123 and x1y"),
+         (2, "no pii here"),
+         (3, "two mails a@b.co c@d.org and 9999999")],
+        "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        ts.scrub_pii(F.col("text")).alias("s"),
+        ts.pii_counts(F.col("text")).alias("c"),
+    ).collect()
+    r = {x.doc_id: x for x in out}
+    assert r[1].s == "mail <EMAIL> or <DIGITS> now, keep 123 and x1y"
+    assert (r[1].c.n_emails, r[1].c.n_digit_runs) == (1, 1)
+    assert r[2].s == "no pii here" and r[2].c.n_emails == 0
+    assert r[3].s == "two mails <EMAIL> <EMAIL> and <DIGITS>"
