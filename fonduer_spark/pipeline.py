@@ -71,8 +71,13 @@ def kg_stages(
     salt_buckets: int = 0,
     replicate: int = 1,
     candidate_strategy: str = "fused",
+    label_model: str = "majority",
 ) -> Dict[str, DataFrame]:
     """Build every stage lazily; returns the dict of stage DataFrames.
+
+    ``label_model``: "majority" (the default, a pure projection — and what
+    the gold oracle assumes for the default LFs) or "triplet" (the
+    accuracy-weighted generative model; adds one aggregation pass at fit).
 
     ``candidate_strategy``:
     - "fused" (default): the candidate product is document-local, so
@@ -126,7 +131,12 @@ def kg_stages(
             py_throttler=same_row_py, column_throttler=same_row, slim=True,
             parse_cfg=ParseConfig(structural=False),
         )
-    scored = with_marginals(scored_input, default_lfs())
+    if label_model == "triplet":
+        from .labeling import triplet_marginals
+
+        scored = triplet_marginals(scored_input, default_lfs())
+    else:
+        scored = with_marginals(scored_input, default_lfs())
     triples = materialize_triples(scored, pred=PRED, prob_threshold=0.5)
     return {
         "web_pages": pages,

@@ -165,3 +165,18 @@ def test_triplet_marginals_abstain_scores_prior(spark):
     # all-abstain would score exactly the prior; here c abstains everywhere
     # and contributes nothing to any z
     assert out["c1"] > 0.5 and out["c2"] < 0.5
+
+
+def test_kg_stages_triplet_label_model_option(spark):
+    """kg_stages(label_model='triplet') swaps the accuracy-weighted model
+    into the pipeline and still recovers exactly the gold triples on the
+    fixture (the strong sign/range LFs dominate the constant part-format
+    LF), matching the majority-vote path's output."""
+    from fonduer_spark.pipeline import kg_stages
+
+    sf = "/root/testdata/sf0.001"
+    tri = kg_stages(spark, sf, max_docs=30, label_model="triplet")["triples"]
+    maj = kg_stages(spark, sf, max_docs=30)["triples"]
+    got = {(r.subj, r.obj) for r in tri.select("subj", "obj").collect()}
+    want = {(r.subj, r.obj) for r in maj.select("subj", "obj").collect()}
+    assert got == want and got
