@@ -89,13 +89,26 @@ class SnapshotTable:
         final = os.path.join(self.dir, f"snapshot={next_id}")
         os.rename(tmp, final)  # commit point
         spark = df.sparkSession
-        n_rows = spark.read.parquet(final).count()
+        # Per-partition lineage (north_rule): one row-count per committed
+        # file — the physical partition unit of the snapshot — recorded in
+        # the manifest alongside the total (same single job computes both).
+        from pyspark.sql import functions as F
+
+        per_file = (
+            spark.read.parquet(final)
+            .groupBy(F.col("_metadata.file_name").alias("f"))
+            .count()
+            .collect()
+        )
+        files = {r["f"]: r["count"] for r in per_file}
+        n_rows = sum(files.values())
         snap = {
             "snapshot_id": next_id,
             "n_rows": n_rows,
             "wall_ms": int((time.time() - t0) * 1000),
             "path": final,
             "signature": signature,
+            "files": files,
         }
         man["snapshots"].append(snap)
         tmp_man = self._manifest_path + f".{uuid.uuid4().hex}"

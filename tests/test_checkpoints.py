@@ -129,3 +129,26 @@ def test_upsert_stage_incremental_pipeline(spark, tmp_path):
     assert merged.count() == full.count()
     kinds = [e[0] for e in cp.events]
     assert kinds == ["compute", "upsert"]
+
+
+def test_manifest_per_partition_lineage(spark, tmp_path):
+    """north_rule 'per-partition lineage + metrics': every committed
+    snapshot's manifest records a row count per committed FILE (the
+    physical partition unit), summing to the snapshot total."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fonduer_spark.checkpoints import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "lineage")
+    df = spark.range(1000).repartition(4).select(
+        F.col("id").cast("long").alias("id"))
+    snap = t.commit(df)
+    man = json.load(open(os.path.join(str(tmp_path), "lineage",
+                                      "_manifest.json")))
+    rec = [s for s in man["snapshots"] if s["snapshot_id"] == snap.snapshot_id][0]
+    assert len(rec["files"]) == 4  # one entry per committed partition file
+    assert sum(rec["files"].values()) == rec["n_rows"] == 1000
+    assert all(f.endswith(".parquet") for f in rec["files"])
