@@ -146,6 +146,52 @@ def neighbor_cell_ngrams(sentences: DataFrame, dist: int = 1,
     )
 
 
+def with_aligned_ngrams(candidates: DataFrame, sentences: DataFrame,
+                        slot: str = "b_", n_max: int = 1) -> DataFrame:
+    """Join the row-OR-column vocabulary of a slot's cell onto the
+    candidates frame as ``{slot}aligned_ngrams`` (reference
+    get_aligned_ngrams, tabular.py:403-435: the union of all cells sharing
+    the mention's row or column; non-tabular slots keep a null
+    vocabulary). Two vocabulary aggregations + one array_union join —
+    never a per-candidate cell walk."""
+    row_v = _axis_vocab_n(sentences, "row_start", "row", n_max)
+    col_v = _axis_vocab_n(sentences, "col_start", "col", n_max)
+    rv = row_v.withColumnsRenamed({"ngrams": "_row_ng"})
+    cv = col_v.withColumnsRenamed({"ngrams": "_col_ng"})
+    out = candidates.join(
+        rv,
+        (candidates[f"{slot}url"] == rv.url)
+        & (candidates[f"{slot}table_sid"] == rv.table_sid)
+        & (candidates[f"{slot}row_start"] == rv.row),
+        "left",
+    ).drop(rv.url).drop(rv.table_sid).drop(rv.row)
+    out = out.join(
+        cv,
+        (out[f"{slot}url"] == cv.url)
+        & (out[f"{slot}table_sid"] == cv.table_sid)
+        & (out[f"{slot}col_start"] == cv.col),
+        "left",
+    ).drop(cv.url).drop(cv.table_sid).drop(cv.col)
+    merged = F.array_distinct(F.concat(
+        F.coalesce(F.col("_row_ng"), F.array().cast("array<string>")),
+        F.coalesce(F.col("_col_ng"), F.array().cast("array<string>")),
+    ))
+    aligned = F.when(
+        F.col("_row_ng").isNotNull() | F.col("_col_ng").isNotNull(), merged)
+    return out.withColumn(f"{slot}aligned_ngrams", aligned) \
+        .drop("_row_ng", "_col_ng")
+
+
+def _axis_vocab_n(sentences: DataFrame, pos_col: str, out_name: str,
+                  n_max: int) -> DataFrame:
+    """(url, table_sid, axis) -> 1..n_max-gram vocabulary over the axis."""
+    ex = _cell_grams(sentences, n_max)
+    return (
+        ex.groupBy("url", "table_sid", F.col(pos_col).alias(out_name))
+        .agg(F.array_distinct(F.collect_list("g")).alias("ngrams"))
+    )
+
+
 def with_head_ngrams(candidates: DataFrame, sentences: DataFrame,
                      slot: str = "b_", axis: str = "col",
                      n_max: int = 1) -> DataFrame:

@@ -247,3 +247,40 @@ def test_general_utils_surface(spark):
     assert got == {"u1"}
     got1 = {r.url for r in get_docs_from_split(docs, cands, split=1).collect()}
     assert got1 == {"u3"}
+
+
+def test_with_aligned_ngrams(spark):
+    """get_aligned_ngrams as a vocabulary join (reference tabular.py:
+    403-435): the slot's aligned vocabulary is the union of every cell in
+    its row OR column; non-tabular slots stay null."""
+    from fonduer_spark.candidates_op import extract_candidates, same_row
+    from fonduer_spark.corpus import (
+        load_docs, make_web_pages, n_rows, part_code, temp_max, temp_min,
+        url_of)
+    from fonduer_spark.data_model_utils import with_aligned_ngrams
+    from fonduer_spark.mentions_op import extract_mentions_fused
+    from fonduer_spark.parse import contexts_of, parse_webpages
+    from fonduer_spark.pipeline import default_mention_specs
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_docs(spark, sf, max_docs=2)
+    mentions = extract_mentions_fused(docs, default_mention_specs())
+    cands = extract_candidates(mentions, "part_temp", "part", "temp",
+                               throttler=same_row, throttler_kind="column")
+    sentences = contexts_of(
+        parse_webpages(make_web_pages(spark, sf, max_docs=2)), "sentence")
+    out = with_aligned_ngrams(cands, sentences, slot="b_")
+    i, t, r = 1, 0, 0
+    row = [x for x in out.collect()
+           if x.url == url_of(i) and x.b_span_text == str(temp_max(i, t, r))
+           and x.a_span_text == part_code(i, t, r)][0]
+    vocab = set(row.b_aligned_ngrams)
+    # row-aligned: the row's part and tmin; col-aligned: the column header
+    # word 'max' and every row's tmax in table 0
+    assert part_code(i, t, r).lower() in vocab
+    assert str(temp_min(i, t, r)) in vocab
+    assert "max" in vocab
+    for rr in range(n_rows(i, t)):
+        assert str(temp_max(i, t, rr)) in vocab
+    # not in vocab: the OTHER column's header word from a different axis
+    assert "part" not in vocab
