@@ -545,6 +545,77 @@ def q_kg_triples_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTICLASS_VALUES = ("cold", "warm", "hot")
+
+
+def _multiclass_lfs():
+    """Three value-space LFs over a 3-class thermal band (reference
+    candidate_subclass values/cardinality, candidate.py:107-136 + the
+    labeler's value mapping, labeler.py:436-465): band(v) = cold (v<0),
+    warm (v<115), hot (else). lf_band is exact; lf_m3 rotates the class
+    by +1 (mod 3) when abs(v) % 3 == 0; lf_m5 ABSTAINS (NULL) when
+    abs(v) % 7 == 0 and rotates when abs(v) % 5 == 0 — exercising k-ary
+    value mapping, abstain, and independent error structure at once."""
+    v = F.col("b_span_text").try_cast("int")
+    b = F.when(v < 0, 0).when(v < 115, 1).otherwise(2)
+    vals = F.array(*[F.lit(x) for x in MULTICLASS_VALUES])
+    exact = F.element_at(vals, b + 1)
+    rot = F.element_at(vals, F.pmod(b + 1, 3) + 1)
+    a = F.abs(v)
+    return {
+        "lf_band": exact,
+        "lf_m3": F.when(F.pmod(a, 3) == 0, rot).otherwise(exact),
+        "lf_m5": F.when(F.pmod(a, 7) == 0, F.lit(None).cast("string"))
+                  .when(F.pmod(a, 5) == 0, rot).otherwise(exact),
+    }
+
+
+def q_kg_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-valued (cardinality-3) relation end to end: LF outputs in the
+    candidate class's value space map to stored {0..k} votes, per-class
+    majority vote yields a probs vector and an argmax pred_value (integer
+    vote counts decide — exact under any partitioning). The oracle replays
+    band/rotate/abstain votes and the count argmax from the corpus
+    formulas; probs are integer counts over ONE double division."""
+    from fonduer_spark.labeling import apply_lfs, majority_vote_marginals_k
+
+    cands = kg_stages(spark, sf_dir)["candidates"]
+    labels = apply_lfs(cands, _multiclass_lfs(), values=MULTICLASS_VALUES)
+    mv = majority_vote_marginals_k(labels, 3, values=MULTICLASS_VALUES)
+    slots = cands.select(
+        "candidate_sid", F.col("a_span_text").alias("subj"),
+        F.col("b_span_text").try_cast("int").alias("obj"))
+    return (
+        mv.join(slots, "candidate_sid")
+        .select(
+            "url", "subj", "obj", "pred_value", "n_votes",
+            F.round(F.col("probs")[0], 6).alias("p_cold"),
+            F.round(F.col("probs")[1], 6).alias("p_warm"),
+            F.round(F.col("probs")[2], 6).alias("p_hot"),
+        )
+        .orderBy("url", "subj", "obj")
+    )
+
+
+def q_kg_multiclass_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest triplet label model at cardinality 3, oracle-checked:
+    all 3 classes' pairwise vote moments come from a SINGLE aggregation
+    pass; the DuckDB oracle rebuilds every ±1 OvR vote from the corpus
+    formulas and replays the identical moment/sqrt/clamp arithmetic per
+    class (exact integer sums -> one double division -> IEEE sqrt)."""
+    from fonduer_spark.labeling import ovr_triplet_label_model
+
+    cands = kg_stages(spark, sf_dir)["candidates"]
+    model = ovr_triplet_label_model(
+        cands, _multiclass_lfs(), 3, values=MULTICLASS_VALUES)
+    rows = [(c, lf, model[c][lf]["accuracy"])
+            for c in sorted(model) for lf in sorted(model[c])]
+    out = spark.createDataFrame(rows, "class_idx int, lf string, acc double")
+    return out.select(
+        "class_idx", "lf", F.round("acc", 6).alias("acc")
+    ).orderBy("class_idx", "lf")
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental keyed upsert promoted to the contract (reference
     clear=False update mode, tests/e2e/test_incremental.py:82-112):
@@ -883,6 +954,90 @@ est AS (
 )
 SELECT lf, round((1.0 + least(greatest(e, 0.0), 0.9999)) / 2.0, 6) AS acc
 FROM est ORDER BY lf
+"""
+
+# kg_multiclass / kg_multiclass_model shared vote CTE: each body row yields
+# a tmax and a tmin candidate; the 3-class band is cold (v<0) / warm
+# (v<115) / hot; lf_m3 rotates the class +1 mod 3 when abs(v)%3==0, lf_m5
+# abstains (NULL) when abs(v)%7==0 and rotates when abs(v)%5==0 — the SQL
+# replica of _multiclass_lfs over the corpus formulas.
+_KG_MULTICLASS_CTE = _KG_CELLS_CTE + """
+, slots AS (
+  SELECT i,
+         'PN' || CAST((i*17 + t*5 + r*3) % 900 + 100 AS VARCHAR)
+              || chr(CAST(65 + ((i + r) % 3) AS INTEGER)) AS subj,
+         unnest([85 + ((i*3 + r*7) % 60), -(40 + ((i + r) % 30))]) AS v
+  FROM cells
+),
+lf AS (
+  SELECT i, subj, v, b,
+    CASE WHEN abs(v) % 3 = 0 THEN (b + 1) % 3 ELSE b END AS m3,
+    CASE WHEN abs(v) % 7 = 0 THEN NULL
+         WHEN abs(v) % 5 = 0 THEN (b + 1) % 3 ELSE b END AS m5
+  FROM (
+    SELECT i, subj, v,
+      CASE WHEN v < 0 THEN 0 WHEN v < 115 THEN 1 ELSE 2 END AS b
+    FROM slots
+  )
+)
+"""
+
+# Per-candidate majority vote: INTEGER per-class counts, argmax with the
+# lowest-index tiebreak (c0 >= c1 >= c2 chain == Spark's
+# array_position(counts, array_max(counts))), probs = count over ONE
+# double division of n_votes, 6-dp rounded.
+_KG_MULTICLASS_SQL = _KG_MULTICLASS_CTE + """
+, counted AS (
+  SELECT i, subj, v,
+    (CASE WHEN b = 0 THEN 1 ELSE 0 END) + (CASE WHEN m3 = 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN m5 = 0 THEN 1 ELSE 0 END) AS c0,
+    (CASE WHEN b = 1 THEN 1 ELSE 0 END) + (CASE WHEN m3 = 1 THEN 1 ELSE 0 END)
+      + (CASE WHEN m5 = 1 THEN 1 ELSE 0 END) AS c1,
+    (CASE WHEN b = 2 THEN 1 ELSE 0 END) + (CASE WHEN m3 = 2 THEN 1 ELSE 0 END)
+      + (CASE WHEN m5 = 2 THEN 1 ELSE 0 END) AS c2,
+    2 + (CASE WHEN m5 IS NULL THEN 0 ELSE 1 END) AS nv
+  FROM lf
+)
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       subj, v AS obj,
+       CASE WHEN c0 >= c1 AND c0 >= c2 THEN 'cold'
+            WHEN c1 >= c2 THEN 'warm' ELSE 'hot' END AS pred_value,
+       nv AS n_votes,
+       round(c0 / CAST(nv AS DOUBLE), 6) AS p_cold,
+       round(c1 / CAST(nv AS DOUBLE), 6) AS p_warm,
+       round(c2 / CAST(nv AS DOUBLE), 6) AS p_hot
+FROM counted ORDER BY url, subj, obj
+"""
+
+# One-vs-rest triplet replay: per class c the ±1 votes are
+# (vote == c -> +1, other class -> -1, abstain -> 0); moments are exact
+# integer product-sums over the co-vote count, then the same
+# (E_ij*E_ik)/E_jk -> abs -> sqrt -> clamp -> (1+e)/2 arithmetic as
+# ovr_triplet_label_model (names sorted lf_band < lf_m3 < lf_m5 fixes
+# operand order class-by-class).
+_KG_MULTICLASS_MODEL_SQL = _KG_MULTICLASS_CTE + """
+, votes AS (
+  SELECT cls,
+    CASE WHEN b = cls THEN 1 ELSE -1 END AS vb,
+    CASE WHEN m3 = cls THEN 1 ELSE -1 END AS v3,
+    CASE WHEN m5 IS NULL THEN 0 WHEN m5 = cls THEN 1 ELSE -1 END AS v5
+  FROM lf CROSS JOIN (SELECT unnest([0, 1, 2]) AS cls)
+),
+mo AS (
+  SELECT cls,
+    SUM(vb*v3) / CAST(SUM(abs(vb*v3)) AS DOUBLE) AS e_b3,
+    SUM(vb*v5) / CAST(SUM(abs(vb*v5)) AS DOUBLE) AS e_b5,
+    SUM(v3*v5) / CAST(SUM(abs(v3*v5)) AS DOUBLE) AS e_35
+  FROM votes GROUP BY cls
+),
+est AS (
+  SELECT cls, 'lf_band' AS lf, sqrt(abs((e_b3 * e_b5) / e_35)) AS e FROM mo
+  UNION ALL SELECT cls, 'lf_m3', sqrt(abs((e_b3 * e_35) / e_b5)) FROM mo
+  UNION ALL SELECT cls, 'lf_m5', sqrt(abs((e_b5 * e_35) / e_b3)) FROM mo
+)
+SELECT cls AS class_idx, lf,
+       round((1.0 + least(greatest(e, 0.0), 0.9999)) / 2.0, 6) AS acc
+FROM est ORDER BY class_idx, lf
 """
 
 # kg_features oracle: per-(url, slot_family) feature-key counts rebuilt from
@@ -2244,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rowcol_minmax": q_kg_rowcol_minmax,
         "kg_label_model": q_kg_label_model,
         "kg_triples_weighted": q_kg_triples_weighted,
+        "kg_multiclass": q_kg_multiclass,
+        "kg_multiclass_model": q_kg_multiclass_model,
         "kg_incremental": q_kg_incremental,
         "kg_features_lingual": q_kg_features_lingual,
         "kg_stream_mentions": q_kg_stream_mentions,
@@ -2318,6 +2475,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_rowcol_minmax": _KG_ROWCOL_MINMAX_SQL,
         "kg_label_model": _KG_LABEL_MODEL_SQL,
         "kg_triples_weighted": gold_triples_sql(),
+        "kg_multiclass": _KG_MULTICLASS_SQL,
+        "kg_multiclass_model": _KG_MULTICLASS_MODEL_SQL,
         "kg_incremental": _KG_PART_MENTIONS_SQL,
         "kg_features_lingual": _KG_FEATURES_LINGUAL_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,

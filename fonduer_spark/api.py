@@ -10,7 +10,8 @@ session, ``apply`` takes/returns DataFrames instead of writing ORM rows.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,6 +21,82 @@ from .featurize import feature_keys, featurize
 from .labeling import apply_lfs, label_keys, majority_vote_marginals
 from .mentions_op import MentionSpec, extract_mentions
 from .parse import ParseConfig, contexts_of, parse_webpages
+from .utils import camel_to_under
+
+
+@dataclass(frozen=True)
+class CandidateSpec:
+    """A declared candidate class — the engine's stand-in for the
+    reference's dynamically-generated ORM subclass (candidate_subclass,
+    candidates/models/candidate.py:73-190): name + constituent mention
+    types, plus the label space (``values``/``cardinality``) the labeler
+    and label model operate in, and per-slot nullability."""
+
+    name: str
+    args: Tuple[str, ...]
+    table_name: str
+    cardinality: int
+    values: Tuple
+    nullables: Tuple[bool, ...]
+
+
+_candidate_subclasses: Dict[str, Tuple[CandidateSpec, tuple]] = {}
+
+
+def candidate_subclass(
+    class_name: str,
+    args: Sequence[str],
+    table_name: Optional[str] = None,
+    cardinality: Optional[int] = None,
+    values: Optional[Sequence] = None,
+    nullables: Optional[Sequence[bool]] = None,
+) -> CandidateSpec:
+    """Declare a candidate class — reference-parity validation of
+    ``values``/``cardinality``/``nullables`` (candidate.py:107-136):
+    defaults to binary [True, False]; explicit ``values`` fixes
+    cardinality = len(values) with None protected and raw ints rejected;
+    explicit ``cardinality`` alone fills values = range(k); re-declaring a
+    name with an incompatible spec raises."""
+    args = tuple(args)
+    if table_name is None:
+        table_name = camel_to_under(class_name)
+    if cardinality is None and values is None:
+        values = (True, False)
+        cardinality = 2
+    elif values is not None:
+        if cardinality is not None and len(values) != cardinality:
+            raise ValueError("Number of values must match cardinality.")
+        if None in values:
+            raise ValueError("`None` is a protected value.")
+        # Note that bools are instances of ints in Python...
+        if any(isinstance(v, int) and not isinstance(v, bool) for v in values):
+            raise ValueError(
+                "Default usage of values is consecutive integers."
+                "Leave values unset if trying to define values as integers."
+            )
+        cardinality = len(values)
+    else:
+        values = tuple(range(cardinality))
+    if nullables:
+        if len(nullables) != len(args):
+            raise ValueError("The number of nullables must match that of args.")
+        nullables = tuple(bool(n) for n in nullables)
+    else:
+        nullables = (False,) * len(args)
+
+    spec_key = (args, table_name, cardinality, tuple(values))
+    if class_name in _candidate_subclasses:
+        spec, key = _candidate_subclasses[class_name]
+        if key == spec_key:
+            return spec
+        raise ValueError(
+            f"Candidate subclass {class_name} already exists in memory "
+            f"with incompatible specification: {key}"
+        )
+    spec = CandidateSpec(class_name, args, table_name, cardinality,
+                         tuple(values), nullables)
+    _candidate_subclasses[class_name] = (spec, spec_key)
+    return spec
 
 
 class Parser:
@@ -78,7 +155,7 @@ class CandidateExtractor:
     def __init__(
         self,
         spark: SparkSession,
-        candidate_types: Sequence[tuple],  # (name, type_a, type_b)
+        candidate_types: Sequence,  # (name, type_a, type_b) | CandidateSpec
         throttlers: Optional[Sequence] = None,
         self_relations: bool = False,
         nested_relations: bool = False,
@@ -86,19 +163,35 @@ class CandidateExtractor:
         nullables: Optional[Sequence] = None,
     ) -> None:
         self.spark = spark
-        self.types = list(candidate_types)
+        spec_nullables: Dict[int, tuple] = {}
+        self.types = []
+        for idx, ct in enumerate(candidate_types):
+            if isinstance(ct, CandidateSpec):
+                if len(ct.args) != 2:
+                    raise ValueError(
+                        f"CandidateExtractor is binary; use "
+                        f"extract_candidates_nary for {ct.name} "
+                        f"({len(ct.args)} slots)")
+                self.types.append((ct.name, ct.args[0], ct.args[1]))
+                spec_nullables[idx] = tuple(ct.nullables)
+            else:
+                self.types.append(tuple(ct))
         self.throttlers = list(throttlers or [None] * len(self.types))
         if len(self.throttlers) != len(self.types):
             raise ValueError(
                 "Provided different number of throttlers and candidate classes."
             )
         # per candidate class, a (bool, bool) like the reference
-        # candidate_subclass nullables (candidate.py:100-102)
+        # candidate_subclass nullables (candidate.py:100-102); a
+        # CandidateSpec's declared nullables win over the default
         self.nullables = list(nullables or [(False, False)] * len(self.types))
         if len(self.nullables) != len(self.types):
             raise ValueError(
                 "Provided different number of nullables and candidate classes."
             )
+        if nullables is None:
+            for idx, nls in spec_nullables.items():
+                self.nullables[idx] = nls
         self.flags = dict(
             self_relations=self_relations,
             nested_relations=nested_relations,
@@ -218,33 +311,62 @@ class LabelModel:
     tests/e2e/test_e2e.py:317-320: fit -> predict_proba) over the engine's
     triplet method-of-moments estimator — fit is ONE Spark aggregation of
     the pairwise vote moments, predict_proba scores distributed with the
-    fitted weights broadcast as literals."""
+    fitted weights broadcast as literals.
 
-    def __init__(self, spark: SparkSession, cardinality: int = 2) -> None:
-        if cardinality != 2:
-            raise NotImplementedError(
-                "binary label model only (the reference's e2e usage)")
+    ``cardinality > 2`` (reference candidate_subclass values/cardinality,
+    candidate.py:107-136) fits the one-vs-rest reduction — still one
+    aggregation pass for all k classes' moments — and predict_proba returns
+    a ``probs`` array plus ``pred_idx``/``pred_value``. Pass ``values`` (or
+    a CandidateSpec) so LF outputs in value space map per the reference's
+    labeler (supervision/labeler.py:436-465)."""
+
+    def __init__(self, spark: SparkSession, cardinality: int = 2,
+                 values: Optional[Sequence] = None) -> None:
+        if isinstance(cardinality, CandidateSpec):
+            values = cardinality.values
+            cardinality = cardinality.cardinality
+        if values is not None:
+            if len(values) != cardinality:
+                raise ValueError("Number of values must match cardinality.")
+            values = tuple(values)
+        if cardinality < 2:
+            raise ValueError("cardinality must be >= 2")
         self.spark = spark
+        self.cardinality = cardinality
+        self.values = values
         self.model_: Optional[Dict] = None
 
     def fit(self, candidates: DataFrame, lfs: Dict) -> "LabelModel":
-        from .labeling import triplet_label_model
+        from .labeling import ovr_triplet_label_model, triplet_label_model
 
-        self.model_ = triplet_label_model(candidates, lfs)
+        if self.cardinality == 2 and self.values is None:
+            self.model_ = triplet_label_model(candidates, lfs)
+        else:
+            self.model_ = ovr_triplet_label_model(
+                candidates, lfs, self.cardinality, values=self.values)
         self.lfs_ = dict(lfs)
         return self
 
     def predict_proba(self, candidates: DataFrame,
-                      prior: float = 0.5) -> DataFrame:
-        from .labeling import score_with_label_model
+                      prior: float = None) -> DataFrame:
+        from .labeling import score_with_label_model, score_with_label_model_k
 
         if self.model_ is None:
             raise ValueError("fit() before predict_proba()")
-        return score_with_label_model(candidates, self.lfs_, self.model_,
-                                      prior=prior)
+        if self.cardinality == 2 and self.values is None:
+            return score_with_label_model(
+                candidates, self.lfs_, self.model_,
+                prior=0.5 if prior is None else prior)
+        return score_with_label_model_k(
+            candidates, self.lfs_, self.model_, values=self.values,
+            prior=prior)
 
-    def get_weights(self) -> Dict[str, float]:
-        """Per-LF estimated accuracies (snorkel's get_weights analogue)."""
+    def get_weights(self):
+        """Per-LF estimated accuracies (snorkel's get_weights analogue);
+        {lf: acc} when binary, {class_idx: {lf: acc}} when k-ary."""
         if self.model_ is None:
             raise ValueError("fit() before get_weights()")
-        return {n: m["accuracy"] for n, m in self.model_.items()}
+        if self.cardinality == 2 and self.values is None:
+            return {n: m["accuracy"] for n, m in self.model_.items()}
+        return {c: {n: m["accuracy"] for n, m in per.items()}
+                for c, per in self.model_.items()}

@@ -18,7 +18,7 @@ LabelModel — SURVEY.md §2.8).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterator, List, Mapping, Union
+from typing import Callable, Dict, Iterator, List, Mapping, Optional, Sequence, Union
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -39,11 +39,40 @@ LABEL_SCHEMA = T.StructType([
 ])
 
 
+def _map_value_space(df: DataFrame, name: str, expr: Column,
+                     values: Sequence) -> Column:
+    """Reference labeler value-space mapping (supervision/labeler.py:436-465)
+    for one column LF: int outputs are assumed already mapped (stored =
+    label + 1); NULL is the protected ABSTAIN (stored 0); any other output
+    must be a member of ``values`` and stores its 1-based index; an unknown
+    value raises, exactly like the reference's ValueError."""
+    dtype = df.select(expr.alias("_probe")).schema[0].dataType
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # reference: "if the LF output is an int, it is already mapped"
+        return F.coalesce(expr.cast("int"), F.lit(ABSTAIN)) + F.lit(1)
+    pos = F.array_position(
+        F.array(*[F.lit(v) for v in values]), expr)
+    return (
+        F.when(expr.isNull(), F.lit(0))
+        .when(pos > 0, pos.cast("int"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"Can't parse label value for LF {name}: "),
+            expr.cast("string"))).cast("int"))
+    )
+
+
 def _eval_lfs(
     candidates: DataFrame,
     lfs: Mapping[str, Union[Column, PandasLF]],
+    values: Optional[Sequence] = None,
 ) -> DataFrame:
-    """Append one 0-shifted ``_lf_<name>`` int column per LF."""
+    """Append one 0-shifted ``_lf_<name>`` int column per LF.
+
+    ``values=None`` keeps the binary int convention (user {-1,0,1} ->
+    stored {0,1,2}); a ``values`` list switches to the reference's k-ary
+    value space (labeler.py:436-465): LF outputs are members of ``values``
+    (stored = 1-based index), NULL = ABSTAIN (stored 0), int outputs pass
+    through as already-mapped (stored = label + 1)."""
     col_lfs: Dict[str, Column] = {}
     pd_lfs: Dict[str, PandasLF] = {}
     for name, lf in lfs.items():
@@ -54,26 +83,44 @@ def _eval_lfs(
 
     df = candidates
     for name, expr in col_lfs.items():
-        # coalesce: a column LF evaluating to NULL (e.g. F.when with no
-        # .otherwise) stores ABSTAIN, keeping the 0-shifted int convention
-        # consistent with the pandas-LF fillna branch below
-        df = df.withColumn(
-            f"_lf_{name}",
-            F.coalesce(expr.cast("int"), F.lit(ABSTAIN)) + F.lit(1),
-        )
+        if values is not None:
+            df = df.withColumn(f"_lf_{name}",
+                               _map_value_space(df, name, expr, values))
+        else:
+            # coalesce: a column LF evaluating to NULL (e.g. F.when with no
+            # .otherwise) stores ABSTAIN, keeping the 0-shifted int
+            # convention consistent with the pandas-LF fillna branch below
+            df = df.withColumn(
+                f"_lf_{name}",
+                F.coalesce(expr.cast("int"), F.lit(ABSTAIN)) + F.lit(1),
+            )
 
     if pd_lfs:
         schema = T.StructType(
             list(df.schema.fields)
             + [T.StructField(f"_lf_{n}", T.IntegerType(), True) for n in pd_lfs]
         )
+        val_idx = {v: i + 1 for i, v in enumerate(values)} if values else None
+
+        def _stored(s: pd.Series, lf_name: str) -> pd.Series:
+            if val_idx is None or pd.api.types.is_integer_dtype(s):
+                return s.fillna(ABSTAIN).astype("int32") + 1
+            def one(x):
+                if x is None or (isinstance(x, float) and pd.isna(x)):
+                    return 0
+                if isinstance(x, int) and not isinstance(x, bool):
+                    return x + 1
+                if x in val_idx:
+                    return val_idx[x]
+                raise ValueError(
+                    f"Can't parse label value {x!r} for LF {lf_name} "
+                    f"with candidate values {list(val_idx)}")
+            return s.map(one).astype("int32")
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for n, lf in pd_lfs.items():
-                    pdf[f"_lf_{n}"] = (
-                        lf(pdf).fillna(ABSTAIN).astype("int32") + 1
-                    )
+                    pdf[f"_lf_{n}"] = _stored(lf(pdf), n)
                 yield pdf
 
         df = df.mapInPandas(fn, schema)
@@ -91,11 +138,14 @@ def _label_arrays(lfs: Mapping[str, object]):
 def apply_lfs(
     candidates: DataFrame,
     lfs: Mapping[str, Union[Column, PandasLF]],
+    values: Optional[Sequence] = None,
 ) -> DataFrame:
     """candidates -> labels(candidate_sid, keys[], values[]) with the
     0-shifted storage convention. Column LFs stay JVM-side; any pandas LFs
-    are fused into a single mapInPandas pass."""
-    df = _eval_lfs(candidates, lfs)
+    are fused into a single mapInPandas pass. Pass a candidate class's
+    ``values`` list for k-ary value-space mapping (reference
+    labeler.py:436-465)."""
+    df = _eval_lfs(candidates, lfs, values=values)
     keys, values = _label_arrays(lfs)
     return df.select(
         "candidate_sid", "candidate_type", "url",
@@ -212,27 +262,45 @@ def triplet_label_model(
     (1+e)/2 and weight = log(acc/(1-acc)) — the naive-Bayes log-likelihood
     ratio per vote used by triplet_marginals.
     """
-    import math
-
     names = sorted(lfs.keys())
     if len(names) < 3:
         raise ValueError("triplet_label_model needs >= 3 LFs; "
                          "use majority_vote_marginals for fewer")
     df = _eval_lfs(candidates, lfs)
     pm = _pm_cols(names)
+    row = df.agg(*_moment_aggs(pm, names, "")).collect()[0]
+    return _triplet_from_moments(_moment_reader(row, ""), names, clamp)
+
+
+def _moment_aggs(pm: Dict[str, Column], names: List[str],
+                 pfx: str) -> List[Column]:
+    """Pairwise vote-moment aggregate columns (product sum + co-vote count)
+    for one ±1 vote space, name-prefixed so several spaces can share one
+    ``agg`` pass."""
     aggs = []
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             prod = pm[a] * pm[b]
-            aggs.append(F.sum(prod).alias(f"m__{a}__{b}"))
-            aggs.append(F.sum(F.abs(prod)).alias(f"c__{a}__{b}"))
-    row = df.agg(*aggs).collect()[0]
+            aggs.append(F.sum(prod).alias(f"m{pfx}__{a}__{b}"))
+            aggs.append(F.sum(F.abs(prod)).alias(f"c{pfx}__{a}__{b}"))
+    return aggs
 
+
+def _moment_reader(row, pfx: str):
     def E(a: str, b: str) -> float:
         if a > b:
             a, b = b, a
-        c = row[f"c__{a}__{b}"] or 0
-        return (row[f"m__{a}__{b}"] / c) if c else 0.0
+        c = row[f"c{pfx}__{a}__{b}"] or 0
+        return (row[f"m{pfx}__{a}__{b}"] / c) if c else 0.0
+    return E
+
+
+def _triplet_from_moments(E, names: List[str],
+                          clamp: float) -> Dict[str, Dict[str, float]]:
+    """Driver-side closed-form triplet estimates from a pairwise-moment
+    reader ``E(a, b)`` — O(k^3) float math, shared by the binary and the
+    one-vs-rest k-ary fits."""
+    import math
 
     out: Dict[str, Dict[str, float]] = {}
     for i_name in names:
@@ -303,6 +371,145 @@ def triplet_marginals(
     distributed via score_with_label_model."""
     model = triplet_label_model(candidates, lfs, clamp=clamp)
     return score_with_label_model(candidates, lfs, model, prior=prior)
+
+
+# --------------------------------------------------------------------------
+# k-ary (multi-valued) label space — reference candidate_subclass values /
+# cardinality (candidates/models/candidate.py:107-136) + the labeler's
+# value-space mapping (supervision/labeler.py:436-465). Storage stays the
+# same keys/values layout; stored votes live in {0 (ABSTAIN), 1, ..., k}.
+# --------------------------------------------------------------------------
+
+
+def majority_vote_marginals_k(
+    labels: DataFrame,
+    cardinality: int,
+    values: Optional[Sequence] = None,
+) -> DataFrame:
+    """k-class generative label model by per-class majority vote: for each
+    candidate, prob[c] = (#votes for class c) / (#non-abstain votes), the
+    uniform 1/k when every LF abstains. ``pred_idx``/``pred_value`` is the
+    argmax class with the lowest-index tiebreak — computed on the INTEGER
+    vote counts, so the decision is exact under any partitioning.
+
+    Pure column arithmetic over the stored values array (one narrow
+    projection, no shuffle) — the k-ary analogue of
+    majority_vote_marginals."""
+    if values is not None and len(values) != cardinality:
+        raise ValueError("Number of values must match cardinality.")
+    def _eq(c):  # closure, NOT a default arg — a 2-arg lambda binds the index
+        return lambda v: v == c + 1
+
+    counts = F.array(*[
+        F.size(F.filter("values", _eq(c))) for c in range(cardinality)
+    ])
+    n_votes = F.size(F.filter("values", lambda v: v != 0))
+    probs = F.transform(
+        counts,
+        lambda n: F.when(n_votes > 0, n.cast("double") / n_votes)
+                   .otherwise(F.lit(1.0 / cardinality)),
+    )
+    pred_idx = (F.array_position(counts, F.array_max(counts)) - 1).cast("int")
+    out = labels.select(
+        "candidate_sid", "candidate_type", "url",
+        probs.alias("probs"),
+        pred_idx.alias("pred_idx"),
+        n_votes.alias("n_votes"),
+    )
+    if values is not None:
+        val_arr = F.array(*[F.lit(str(v)) for v in values])
+        out = out.withColumn(
+            "pred_value", F.element_at(val_arr, F.col("pred_idx") + 1))
+    return out
+
+
+def _pm_cols_k(names: List[str], c: int) -> Dict[str, Column]:
+    """One-vs-rest ±1 vote columns for class index ``c`` from the 0-shifted
+    ``_lf_*`` storage: stored c+1 -> +1, any other non-abstain class -> -1,
+    ABSTAIN (0) -> 0."""
+    return {
+        n: F.when(F.col(f"_lf_{n}") == c + 1, F.lit(1))
+            .when(F.col(f"_lf_{n}") != 0, F.lit(-1))
+            .otherwise(F.lit(0))
+        for n in names
+    }
+
+
+def ovr_triplet_label_model(
+    candidates: DataFrame,
+    lfs: Mapping[str, Union[Column, PandasLF]],
+    cardinality: int,
+    values: Optional[Sequence] = None,
+    clamp: float = 0.9999,
+) -> Dict[int, Dict[str, Dict[str, float]]]:
+    """k-class accuracy-estimating label model: one-vs-rest reduction of the
+    binary triplet method of moments. For each class c the stored votes map
+    to ±1 (vote == c -> +1, any other vote -> -1, abstain -> 0) and the
+    binary estimator runs in that space; all k * #pairs moment sums are
+    computed in a SINGLE Spark aggregation pass (exact integer arithmetic,
+    bit-deterministic under any partitioning), then O(k * #lfs^3)
+    driver-side float math.
+
+    Returns {class_idx: {lf: {"alignment", "accuracy", "weight"}}}."""
+    names = sorted(lfs.keys())
+    if len(names) < 3:
+        raise ValueError("ovr_triplet_label_model needs >= 3 LFs")
+    if cardinality < 2:
+        raise ValueError("cardinality must be >= 2")
+    df = _eval_lfs(candidates, lfs, values=values)
+    aggs: List[Column] = []
+    for c in range(cardinality):
+        aggs.extend(_moment_aggs(_pm_cols_k(names, c), names, str(c)))
+    row = df.agg(*aggs).collect()[0]
+    return {
+        c: _triplet_from_moments(_moment_reader(row, str(c)), names, clamp)
+        for c in range(cardinality)
+    }
+
+
+def score_with_label_model_k(
+    candidates: DataFrame,
+    lfs: Mapping[str, Union[Column, PandasLF]],
+    model: Dict[int, Dict[str, Dict[str, float]]],
+    values: Optional[Sequence] = None,
+    prior: float = None,
+) -> DataFrame:
+    """Distributed k-class scoring under a fitted one-vs-rest model: per
+    class c, z_c = logit(prior) + sum_i vote_{i,c} * w_{i,c} with the
+    weights inlined as literals; ``probs`` is the normalized sigmoid vector
+    (sigma(z_c) / sum_c sigma(z_c) — the standard OvR normalization) and
+    ``pred_idx`` the argmax of z (lowest index on exact ties). Appends the
+    keys/values label arrays like score_with_label_model."""
+    import math
+
+    names = sorted(lfs.keys())
+    cardinality = len(model)
+    if prior is None:
+        prior = 1.0 / cardinality
+    df = _eval_lfs(candidates, lfs, values=values)
+    z_cols = []
+    for c in range(cardinality):
+        pm = _pm_cols_k(names, c)
+        z = F.lit(math.log(prior / (1.0 - prior)))
+        for n in names:
+            z = z + pm[n].cast("double") * F.lit(model[c][n]["weight"])
+        z_cols.append(z)
+    zs = F.array(*z_cols)
+    sig = F.transform(zs, lambda z: F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    tot = F.aggregate(sig, F.lit(0.0), lambda a, x: a + x)
+    probs = F.transform(sig, lambda s: s / tot)
+    pred_idx = (F.array_position(zs, F.array_max(zs)) - 1).cast("int")
+    keys, vals = _label_arrays(lfs)
+    df = (
+        df.withColumn("keys", keys).withColumn("values", vals)
+        .withColumn("probs", probs)
+        .withColumn("pred_idx", pred_idx)
+    )
+    if values is not None:
+        val_arr = F.array(*[F.lit(str(v)) for v in values])
+        df = df.withColumn(
+            "pred_value", F.element_at(val_arr, F.col("pred_idx") + 1))
+    return df.select(*[c for c in df.columns if not c.startswith("_lf_")])
 
 
 def gold_labels(
