@@ -122,22 +122,36 @@ def main_bench(cores: int, sf_dir: str) -> dict:
 
     skew = skew_leg(spark, sf_dir)
 
-    # ANN quality: recall@5 of the LSH multiprobe path vs the exact top-k
-    # (planes=3, multiprobe=1 — the recall-knob configuration)
+    # ANN quality: recall@5 of the DEFAULT operating point (ann_topk =
+    # 4-table sign-LSH, planes=4, multiprobe=1) vs the exact top-k, over a
+    # query set that mixes centroid-member ids (0-7) and general ids
+    # (1000-1007) so the number generalizes. The single-table legacy config
+    # and both IVF query regimes are reported alongside — the fixed-
+    # quantizer IVF is exact-cheap for queries drawn from its centroids
+    # and weak off-centroid, which the split discloses.
     from fonduer_spark.functions import similarity as _sim
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qids = list(range(8))
-    exact = {(r.query_id, r.neighbor_id)
-             for r in _sim.cosine_topk(emb, qids, k=5).collect()}
-    ann = {(r.query_id, r.neighbor_id)
-           for r in _sim.lsh_bucketed_ann(emb, qids, dim=64, k=5, n_planes=3,
-                                          multiprobe=1).collect()}
-    ann_recall = round(len(ann & exact) / max(1, len(exact)), 3)
-    ivf = {(r.query_id, r.neighbor_id)
-           for r in _sim.ivf_bucketed_ann(emb, qids, dim=64, k=5,
-                                          n_centroids=16, nprobe=2).collect()}
-    ivf_recall = round(len(ivf & exact) / max(1, len(exact)), 3)
+    qids = list(range(8)) + list(range(1000, 1008))
+
+    def _recall(df, exact):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return round(len(got & exact) / max(1, len(exact)), 3)
+
+    exact_all = {(r.query_id, r.neighbor_id)
+                 for r in _sim.cosine_topk(emb, qids, k=5).collect()}
+    exact_cen = {p for p in exact_all if p[0] < 8}
+    exact_off = exact_all - exact_cen
+    ann_recall = _recall(_sim.ann_topk(emb, qids, dim=64, k=5), exact_all)
+    lsh1_recall = _recall(
+        _sim.lsh_bucketed_ann(emb, qids, dim=64, k=5, n_planes=3,
+                              multiprobe=1), exact_all)
+    ivf_cen = _recall(
+        _sim.ivf_bucketed_ann(emb, list(range(8)), dim=64, k=5,
+                              n_centroids=16, nprobe=2), exact_cen)
+    ivf_off = _recall(
+        _sim.ivf_bucketed_ann(emb, list(range(1000, 1008)), dim=64, k=5,
+                              n_centroids=16, nprobe=2), exact_off)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -152,9 +166,16 @@ def main_bench(cores: int, sf_dir: str) -> dict:
         "docs_per_sec": round(n_docs / wall, 2),
         "triples_per_sec": round(n_triples / wall, 2),
         "sim_ann_recall_at5": ann_recall,
-        "sim_ivf_recall_at5": ivf_recall,
+        "sim_lsh_single_table_recall_at5": lsh1_recall,
+        "sim_ivf_recall_at5": ivf_cen,
+        "sim_ivf_offcentroid_recall_at5": ivf_off,
         "capped_kernels": capped,
         "skew": skew,
+        # ~sf1 (10x) scale-up evidence, same session/window as the 1x legs;
+        # disable with SPARK_GRAFT_SF1=false for quick local iteration
+        "sf1": (sf1_leg(spark, sf_dir)
+                if os.environ.get("SPARK_GRAFT_SF1", "true") != "false"
+                else "skipped (SPARK_GRAFT_SF1=false)"),
     }
 
 
@@ -171,6 +192,88 @@ def skew_render(i, text):
         b = html.rindex("</table>") + len("</table>")
         html = html[:a] + html[a:b] * 25 + html[b:]
     return html
+
+
+def replicated_docs(spark, sf_dir: str, replicate: int):
+    """An honestly-inflated documents corpus for scale legs: each replica
+    applies a DISTINCT alphanumeric substitution cipher (F.translate with a
+    per-replica Caesar shift over [a-z0-9]) to every text. A bijective
+    character map preserves shingle-set relations exactly, so the near-dup
+    cluster structure of the base corpus replicates WITHIN each replica
+    while replicas share (almost) no shingles with each other — workload
+    character is preserved at replicate x size, unlike verbatim copies
+    (which would inflate every LSH bucket replicate-fold and turn the
+    verify stage quadratic in the replica count)."""
+    import string
+
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    n_parts = max(spark.sparkContext.defaultParallelism * 4, 16)
+    docs = docs.repartition(n_parts, "doc_id")
+    if replicate == 1:
+        return docs
+    alpha = string.ascii_lowercase + string.digits
+    ex = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("_rep"))
+    out_text = F.when(F.col("_rep") == 0, F.col("text"))
+    for rep in range(1, replicate):
+        shifted = alpha[rep:] + alpha[:rep]
+        out_text = out_text.when(
+            F.col("_rep") == rep, F.translate("text", alpha, shifted))
+    return ex.select(
+        (F.col("doc_id") + F.col("_rep") * F.lit(10_000_000)).alias("doc_id"),
+        out_text.alias("text"))
+
+
+def sf1_leg(spark, sf_dir: str, replicate: int = 10) -> dict:
+    """Scale-up evidence at ~sf1 (replicate x the sf dir, 50 k docs at the
+    default): the same jobs at 1x and replicate-x in the SAME session, so
+    the pair shares steal conditions. 'linearity' = wall_Nx / (N * wall_1x)
+    — ~1.0 is linear scaling, >> 1 would expose quadratic creep or a
+    driver bottleneck, < 1 means fixed overheads amortize. The KG corpus
+    inflates via load_docs(replicate=) (distinct page arithmetic per
+    replica); the documents corpus via replicated_docs (per-replica
+    substitution cipher keeps dedup workload character)."""
+    from fonduer_spark.functions import dedup as dd
+    from fonduer_spark.functions import textstats as ts
+
+    out: dict = {"replicate": replicate}
+
+    _, n1, w1 = run_kg(spark, sf_dir, measured_runs=1)
+    t10, n10, w10 = run_kg(spark, sf_dir, measured_runs=1,
+                           replicate=replicate)
+    out["kg_pipeline"] = {
+        "wall_1x": round(w1, 3), f"wall_{replicate}x": round(w10, 3),
+        "docs_1x": n1, f"docs_{replicate}x": n10,
+        f"triples_{replicate}x": t10,
+        "docs_per_sec_big": round(n10 / w10, 1),
+        "linearity": round(w10 / (replicate * w1), 3),
+    }
+
+    ops = (
+        ("dedup_lsh_verified",
+         lambda d: dd.lsh_verified_pairs(d, k=16, bands=8, shingle_n=3,
+                                         threshold=0.1)),
+        ("text_quality", lambda d: ts.quality_stats(d)),
+    )
+    for name, fn in ops:
+        walls, rows = {}, {}
+        for rep in (1, replicate):
+            d = replicated_docs(spark, sf_dir, rep)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows[rep] = fn(d).count()
+            walls[rep] = time.time() - t0
+        out[name] = {
+            "wall_1x": round(walls[1], 3),
+            f"wall_{replicate}x": round(walls[replicate], 3),
+            "rows_1x": rows[1], f"rows_{replicate}x": rows[replicate],
+            "linearity": round(walls[replicate] / (replicate * walls[1]), 3),
+        }
+    return out
 
 
 def skew_leg(spark, sf_dir: str, n_docs: int = 1024, cap: int = 400) -> dict:
@@ -375,12 +478,25 @@ def _supplement_4_16() -> str:
     bc4 = best4["docs_per_sec"] / best4["obtained_cores"]
     bc16 = best16["docs_per_sec"] / best16["obtained_cores"]
     met = [p for p in pairs if p >= 0.8]
-    met_line = (
-        f"**The >= 0.8 N->4N target is MET at this cluster-size pair**: "
-        f"{len(met)} of {len(pairs)} same-window pairs measure >= 0.8 "
-        f"(best {max(pairs)}), i.e. whenever the hypervisor delivers the "
-        "cores, the pipeline scales essentially linearly 4x. "
-    ) if met else ""
+    med = sorted(pairs)[len(pairs) // 2]
+    if len(met) * 2 > len(pairs):
+        met_line = (
+            f"**The >= 0.8 N->4N target is MET at this cluster-size pair "
+            f"(majority of windows)**: {len(met)} of {len(pairs)} "
+            f"same-window pairs measure >= 0.8 (median {med}, best "
+            f"{max(pairs)}) — whenever the hypervisor delivers the cores, "
+            "the pipeline scales essentially linearly 4x. "
+        )
+    elif met:
+        met_line = (
+            f"Target reached in {len(met)} of {len(pairs)} same-window "
+            f"pairs (median {med}, best {max(pairs)}); on a VM whose "
+            "identical runs swing 3-6x, the subset >= 0.8 shows the "
+            "pipeline reaches linear scaling whenever the hypervisor "
+            "delivers the cores, but a majority of windows do not. "
+        )
+    else:
+        met_line = ""
     return (
         "\n## Supplement: 4 -> 16 cores (neither leg saturates the box)\n\n"
         + met_line
@@ -394,6 +510,29 @@ def _supplement_4_16() -> str:
         f"{bc16 / bc4:.2f}; the efficiency deficit is cores the hypervisor "
         "does not deliver, not pipeline serialization (raw legs in "
         "BENCH/scaling_4_16.jsonl).\n"
+    )
+
+
+def _per_delivered_core_line(best: dict, lo: int, hi: int) -> str:
+    """The 8->32 analogue of the 4->16 supplement's per-delivered-core
+    normalization: throughput divided by the cores the hypervisor actually
+    delivered in each leg of the headline pair. A ratio ~1.0 localizes the
+    raw-efficiency deficit in undelivered cores rather than pipeline
+    serialization."""
+    try:
+        pl = best[lo]["docs_per_sec"] / best[lo]["obtained_cores"]
+        ph = best[hi]["docs_per_sec"] / best[hi]["obtained_cores"]
+    except (KeyError, ZeroDivisionError, TypeError):
+        return ""
+    return (
+        f"\nPer-DELIVERED-core normalization of the headline pair: the "
+        f"{lo}-core leg obtained {best[lo]['obtained_cores']} cores "
+        f"({pl:.0f} docs/s per obtained core), the {hi}-core leg obtained "
+        f"{best[hi]['obtained_cores']} of {hi} ({ph:.0f} docs/s per "
+        f"obtained core) — a per-delivered-core scaling ratio of "
+        f"{ph / pl:.2f}. The raw {lo}->{hi} shortfall is cores the "
+        "hypervisor does not deliver at width 32, not added pipeline "
+        "serialization (same normalization the 4->16 supplement applies).\n"
     )
 
 
@@ -462,6 +601,7 @@ def _write_baseline_md(sf_dir: str, lo: int = 8, hi: int = 32,
               "Secondary ceiling estimate from the best legs across "
               f"different windows: {eff_ceiling:.3f} (not a paired "
               "measurement).\n"
+            + _per_delivered_core_line(best, lo, hi)
             + "\nMachine control: a pure-python fixed-total-work process "
               f"pool (no Spark, no Arrow memory traffic) scales {lo}->{hi} "
               f"at {ctls[0]:.2f}-{ctls[-1]:.2f} across the same windows — "

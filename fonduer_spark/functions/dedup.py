@@ -108,6 +108,9 @@ def minhash_lsh_pairs(
       Mitzenmacher, "Less Hashing, Same Performance"); still exactly
       reproducible in SQL via hex-nibble parsing.
     """
+    if family not in ("md5", "km"):
+        raise ValueError(
+            f"unknown MinHash family {family!r}: expected 'md5' or 'km'")
     rows = k // bands
     # Relational MinHash: explode shingles ONCE, then one groupBy computing
     # all k mins in a single pass. (A per-row array expression duplicates

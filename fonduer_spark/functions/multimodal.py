@@ -70,26 +70,86 @@ def _fake_decode(payload: bytes) -> list:
     ]
 
 
+# --- the real decoder (import-gated) -------------------------------------
+#
+# FEATURE CONTRACT shared by the fake and real paths (what
+# tests/test_multimodal_contract.py pins, mirroring the lingual
+# conformance contract): exactly FEATURE_DIM floats, each in [0, 1),
+# rounded to 6 decimals, deterministic for identical payload bytes.
+
+
+def _real_decode_image(payload: bytes) -> list:
+    """Real image decode + feature extraction (requires Pillow): 8 summary
+    statistics of the decoded RGB raster, every one normalized into [0, 1)
+    and 6-dp rounded per the shared feature contract — [clamped w/4096,
+    clamped h/4096, mean R, mean G, mean B, mean gray, std gray, mean
+    horizontal gradient]. Raises NotImplementedError when Pillow is absent
+    (the honest env gate); decode errors propagate — per-row isolation is
+    the caller's policy, not silent zeros."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode libraries (Pillow) are not available in this "
+            "container; plug a real decoder here"
+        ) from e
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    w, h = img.size
+    arr = np.asarray(img, dtype=np.float64) / 255.0  # (h, w, 3)
+    gray = arr.mean(axis=2)
+    grad = float(np.abs(np.diff(gray, axis=1)).mean()) if w > 1 else 0.0
+    feats = [
+        min(w, 4095) / 4096.0,
+        min(h, 4095) / 4096.0,
+        float(arr[..., 0].mean()),
+        float(arr[..., 1].mean()),
+        float(arr[..., 2].mean()),
+        float(gray.mean()),
+        float(gray.std()),
+        grad,
+    ]
+    return [round(min(f, 0.999999), 6) for f in feats]
+
+
+def _real_resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize (requires Pillow): decode -> bilinear resize ->
+    re-encode PNG. Raises NotImplementedError when Pillow is absent."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode/resize libraries (Pillow) are not available in "
+            "this container; plug a real resizer here"
+        ) from e
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format="PNG")
+    return out.getvalue()
+
+
 def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode + feature-extract each blob in Arrow batches (mapInPandas).
 
-    ``decoder="real"`` marks where an actual image/audio decode would run —
-    it raises NotImplementedError because the libs are absent here. The
-    batch shape, schema, and partitioning are the production design.
+    ``decoder="real"`` runs the Pillow-backed decode (_real_decode_image)
+    when the library exists and raises NotImplementedError otherwise — the
+    same feature contract (FEATURE_DIM floats in [0,1), 6-dp) either way,
+    asserted by tests/test_multimodal_contract.py. The batch shape, schema,
+    and partitioning are the production design.
     """
+    decode = _real_decode_image if decoder == "real" else _fake_decode
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "image/audio decode libraries are not available in this "
-                    "container; plug a real decoder here"
-                )
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].astype("int64"),
                 "kind": pdf["kind"],
                 "n_bytes": [len(p or b"") for p in pdf["payload"]],
-                "features": [_fake_decode(bytes(p or b"")) for p in pdf["payload"]],
+                "features": [decode(bytes(p or b"")) for p in pdf["payload"]],
             })
 
     return media.select("media_id", "kind", "payload").mapInPandas(fn, _FEAT_SCHEMA)
@@ -107,17 +167,25 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   decoder: str = "fake") -> DataFrame:
     """Image resize plumbing: binary in -> binary out with updated dims,
     one Arrow batch at a time, partition-local (no shuffle). The pixel
-    transform is the stub (``decoder="real"`` raises — no image libs
-    here); the fake path emits a deterministic payload
-    (md5 of payload:WxH, hex bytes) so tests pin the batch shape and
-    the metadata update end to end."""
+    transform: ``decoder="real"`` runs the Pillow-backed
+    decode -> bilinear resize -> PNG re-encode (_real_resize_image; raises
+    NotImplementedError without Pillow); the fake path emits a
+    deterministic payload (md5 of payload:WxH, hex bytes) so tests pin the
+    batch shape and the metadata update end to end."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "image decode/resize libraries are not available in "
-                    "this container; plug a real resizer here")
+                out_payload = [
+                    _real_resize_image(bytes(p or b""), width, height)
+                    for p in pdf["payload"]
+                ]
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": width, "height": height,
+                    "payload": out_payload,
+                })
+                continue
             out_payload = [
                 hashlib.md5(
                     bytes(p or b"") + f":{width}x{height}".encode()

@@ -227,9 +227,17 @@ def train_sequence_model(
         frac_ppm = int(1_000_000 * max_fit_candidates / n_total)
         fit_df = fit_df.where(
             F.pmod(F.xxhash64("candidate_sid"), F.lit(1_000_000)) < frac_ppm)
-    rows = fit_df.collect()
-    probs = {r.candidate_sid: float(r.prob)
-             for r in marginals.select("candidate_sid", "prob").collect()}
+    # join the marginals to the (sampled) fit rows BEFORE collecting: the
+    # label lookup is bounded by the same max_fit_candidates cap as the
+    # sequences — no second unbounded O(N) driver collect. Driver-side sort
+    # pins the row order (the join shuffle's output order is not stable),
+    # keeping the float accumulation — and hence the fit — bit-deterministic.
+    rows = sorted(
+        fit_df.join(
+            marginals.select("candidate_sid",
+                             F.col("prob").alias("_fit_prob")),
+            "candidate_sid", "left").collect(),
+        key=lambda r: r["candidate_sid"])
     vocab: Dict[str, int] = {}
     seqs: List[List[int]] = []
     y: List[float] = []
@@ -238,7 +246,8 @@ def train_sequence_model(
         for c in m_cols:
             toks.extend(r[c] or [])
         seqs.append([vocab.setdefault(t, len(vocab)) for t in toks])
-        y.append(probs.get(r.candidate_sid, 0.5))
+        p = r["_fit_prob"]
+        y.append(float(p) if p is not None else 0.5)
     n, d = len(seqs), len(vocab)
     yv = np.array(y)
     w = np.zeros(d)

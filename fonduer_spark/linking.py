@@ -101,11 +101,30 @@ def similarity_edges(
     )
 
 
+def _fits_on_driver(vertices: DataFrame, edges: DataFrame,
+                    driver_threshold: int, driver_max_bytes: int) -> bool:
+    """Route to the driver-side union-find only when BOTH the row count and
+    the estimated payload bytes are small: a row-count-only guard lets a
+    graph of few-but-huge stable_id strings (multi-KB URLs, concatenated
+    keys) pressure driver memory. Byte estimate = exact sum of string
+    lengths — one cheap aggregate on each frame, same cost class as the
+    count it accompanies."""
+    n = vertices.count() + edges.count()
+    if n > driver_threshold:
+        return False
+    vb = vertices.agg(
+        F.sum(F.length("v")).alias("b")).collect()[0].b or 0
+    eb = edges.agg(
+        F.sum(F.length("a") + F.length("b")).alias("b")).collect()[0].b or 0
+    return (vb + eb) <= driver_max_bytes
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_iter: int = 20,
     driver_threshold: int = 200_000,
+    driver_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Smallest-label propagation: (vertex, component) with component = the
     lexicographically smallest reachable vertex.
@@ -113,16 +132,18 @@ def connected_components(
     ``vertices``: single column 'v'; ``edges``: columns 'a','b' (undirected).
 
     Physical strategy by size (the usual CC hybrid): below
-    ``driver_threshold`` total rows the graph is collected and solved with
-    union-find in one pass (the iterative-job overhead dominates tiny
-    graphs); above it, a pure DataFrame loop — each round: labels propagate
-    across edges, then groupBy-min, then a pointer-doubling jump
-    (label := label-of-label) making convergence O(log diameter) rounds;
-    localCheckpoint truncates lineage. Warns if max_iter is exhausted before
-    convergence (split components otherwise go unnoticed).
+    ``driver_threshold`` total rows AND ``driver_max_bytes`` estimated
+    string payload (_fits_on_driver — byte-guarded so wide stable_ids
+    can't blow the driver through a small row count) the graph is
+    collected and solved with union-find in one pass (the iterative-job
+    overhead dominates tiny graphs); above either limit, a pure DataFrame
+    loop — each round: labels propagate across edges, then groupBy-min,
+    then a pointer-doubling jump (label := label-of-label) making
+    convergence O(log diameter) rounds; localCheckpoint truncates lineage.
+    Warns if max_iter is exhausted before convergence (split components
+    otherwise go unnoticed).
     """
-    n = vertices.count() + edges.count()
-    if n <= driver_threshold:
+    if _fits_on_driver(vertices, edges, driver_threshold, driver_max_bytes):
         vs = [r.v for r in vertices.collect()]
         parent = {v: v for v in vs}
 

@@ -85,6 +85,16 @@ class Meta:
                 f"Meta already initialized with warehouse {cls.warehouse}; "
                 "call Meta.reset() to re-init elsewhere"
             )
+        elif cores is not None or spark_cfg:
+            # the singleton survives re-init: a caller asking for a
+            # different session config would otherwise silently get the
+            # old one (mirrors the warehouse-mismatch branch, but a config
+            # drift is a warning rather than an error — the session is
+            # still usable, just not resized)
+            logger.warning(
+                "Meta already initialized; ignoring cores=%r spark_cfg=%r "
+                "for the live session — call Meta.reset() to re-init with "
+                "a new configuration", cores, spark_cfg)
         return cls
 
     @classmethod

@@ -191,6 +191,42 @@ def test_ann_multiprobe_recall(spark):
     assert r1 >= 0.6         # empirically 0.70 at sf0.01, seed=42
 
 
+def test_ann_multitable_recall_and_default(spark):
+    """n_tables is the OR-amplification recall knob: recall rises
+    monotonically with independent hash tables (0.525 -> 0.675 -> 0.9 at
+    sf0.01), candidate pairs are deduplicated across tables, and the
+    ann_topk DEFAULT operating point clears 0.9 with a bucketed plan
+    (no cartesian / nested-loop join)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(8))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.cosine_topk(emb, qids, k=5).collect()}
+
+    def recall(nt):
+        ann = {(r.query_id, r.neighbor_id)
+               for r in sim.lsh_bucketed_ann(
+                   emb, qids, dim=64, k=5, n_planes=4, multiprobe=1,
+                   n_tables=nt).collect()}
+        return len(ann & exact) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+
+    d = sim.ann_topk(emb, qids, dim=64, k=5)
+    rows = d.collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in rows]
+    assert len(pairs) == len(set(pairs))  # cross-table dedup before top-k
+    assert len(set(pairs) & exact) / len(exact) >= 0.9
+    plan = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError, match="'ivf' or 'lsh'"):
+        sim.ann_topk(emb, qids, dim=64, method="faiss")
+    with pytest.raises(ValueError, match="n_tables"):
+        sim.lsh_bucketed_ann(emb, qids, dim=64, n_tables=0)
+
+
 def test_bpe_token_count(spark):
     df = spark.createDataFrame(
         [(0, "hello world"), (1, "ab12cd!"), (2, ""), (3, "a-b c.d")],
@@ -258,7 +294,7 @@ def test_ivf_ann_subset_of_brute_with_recall(spark, emb):
     got1, got4 = [
         {(r.query_id, r.neighbor_id): r.score
          for r in sim.ivf_bucketed_ann(
-             emb, [0, 5, 9], dim=64, k=5, n_centroids=8,
+             emb, [0, 5, 9], dim=16, k=5, n_centroids=8,
              nprobe=p).collect()}
         for p in (1, 4)
     ]
@@ -270,11 +306,38 @@ def test_ivf_ann_subset_of_brute_with_recall(spark, emb):
     assert r4 >= r1  # nprobe is the recall knob
     assert r4 >= 0.3  # sane floor on the fixture
 
-    plan = sim.ivf_bucketed_ann(emb, [0], dim=64, k=3)._sc._jvm \
+    plan = sim.ivf_bucketed_ann(emb, [0], dim=16, k=3)._sc._jvm \
         .PythonSQLUtils.explainString(
-            sim.ivf_bucketed_ann(emb, [0], dim=64, k=3)
+            sim.ivf_bucketed_ann(emb, [0], dim=16, k=3)
             ._jdf.queryExecution(), "formatted")
     assert "CartesianProduct" not in plan.split("\n\n")[0]
+    # the previously-unused dim parameter now validates the quantizer
+    with pytest.raises(ValueError, match="dimension"):
+        sim.ivf_bucketed_ann(emb, [0], dim=64, k=3)
+
+
+def test_ivf_kmeans_quantizer(spark, emb):
+    """The trained coarse quantizer (pyspark.ml KMeans) drops into the same
+    assign -> probe -> verify plumbing: probing EVERY trained cell is
+    exhaustive, so it must reproduce the exact top-k (recall parity with
+    brute force — centroids only partition the scan); a partial probe
+    returns a subset with identical rounded cosines."""
+    brute = {(r.query_id, r.neighbor_id): r.score
+             for r in sim.cosine_topk(emb, [0, 5], k=5).collect()}
+    full = {(r.query_id, r.neighbor_id): r.score
+            for r in sim.ivf_bucketed_ann(
+                emb, [0, 5], dim=16, k=5, n_centroids=4, nprobe=4,
+                quantizer="kmeans").collect()}
+    assert full == brute  # exhaustive probe == exact, scores bit-identical
+    part = {(r.query_id, r.neighbor_id): r.score
+            for r in sim.ivf_bucketed_ann(
+                emb, [0, 5], dim=16, k=5, n_centroids=4, nprobe=1,
+                quantizer="kmeans").collect()}
+    for pair, score in part.items():
+        if pair in brute:
+            assert brute[pair] == score
+    with pytest.raises(ValueError, match="quantizer"):
+        sim.ivf_bucketed_ann(emb, [0], dim=16, quantizer="bogus")
 
 
 def test_multimodal_resize_and_frames(spark):

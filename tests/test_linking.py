@@ -71,3 +71,24 @@ def test_connected_components_distributed_path(spark):
     drv = {r.v: r.component for r in connected_components(
         vertices, edges).collect()}
     assert dist == drv
+
+
+def test_connected_components_byte_guard(spark):
+    """The driver fast path is byte-guarded, not just row-guarded: a graph
+    of FEW rows with huge stable_id strings must route to the distributed
+    loop (few-KB cap here), and the answer is unchanged."""
+    from fonduer_spark.linking import _fits_on_driver
+
+    wide = [("x" * 4096 + v,) for v in "abcd"]
+    vertices = spark.createDataFrame(wide, "v string")
+    edges = spark.createDataFrame(
+        [("x" * 4096 + "a", "x" * 4096 + "b")], "a string, b string")
+    # 4 rows — passes any row threshold — but ~24 KB of strings
+    assert not _fits_on_driver(vertices, edges, driver_threshold=200_000,
+                               driver_max_bytes=8192)
+    assert _fits_on_driver(vertices, edges, driver_threshold=200_000,
+                           driver_max_bytes=1 << 20)
+    comps = {r.v[-1]: r.component[-1] for r in connected_components(
+        vertices, edges, driver_max_bytes=8192).collect()}
+    assert comps["a"] == comps["b"] == "a"
+    assert comps["c"] == "c" and comps["d"] == "d"

@@ -175,8 +175,10 @@ def test_label_model_facade(spark):
     truth = {r.candidate_sid: r.y for r in df.collect()}
     acc = sum((probs[s] > 0.5) == (truth[s] == 1) for s in truth) / len(truth)
     assert acc >= 0.9
-    with pytest.raises(NotImplementedError):
-        LabelModel(spark, cardinality=3)
+    # cardinality=3 is now the OvR k-ary path (test_multiclass.py);
+    # invalid cardinalities still raise
+    with pytest.raises(ValueError, match="cardinality"):
+        LabelModel(spark, cardinality=1)
     with pytest.raises(ValueError, match="fit"):
         LabelModel(spark).predict_proba(df)
 
