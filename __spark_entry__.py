@@ -616,6 +616,31 @@ def q_kg_multiclass_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("class_idx", "lf")
 
 
+def q_kg_multiclass_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-ary weighted label model END TO END: fit the one-vs-rest
+    triplet model, score every candidate distributed, output the argmax
+    pred_value. The oracle replays moments -> accuracies -> log-odds
+    weights -> per-class z -> argmax in SQL. Only the DISCRETE argmax is
+    hash-compared (z margins are O(weight) >> float noise, and the shared
+    logit-prior constant cancels across classes), so the ln/exp in the
+    weights never touches a hashed float — the r4 determinism rule."""
+    from fonduer_spark.labeling import (
+        ovr_triplet_label_model, score_with_label_model_k)
+
+    cands = kg_stages(spark, sf_dir)["candidates"]
+    lfs = _multiclass_lfs()
+    model = ovr_triplet_label_model(cands, lfs, 3, values=MULTICLASS_VALUES)
+    scored = score_with_label_model_k(cands, lfs, model,
+                                      values=MULTICLASS_VALUES)
+    return (
+        scored.select(
+            "url", F.col("a_span_text").alias("subj"),
+            F.col("b_span_text").try_cast("int").alias("obj"),
+            "pred_value",
+        ).orderBy("url", "subj", "obj")
+    )
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental keyed upsert promoted to the contract (reference
     clear=False update mode, tests/e2e/test_incremental.py:82-112):
@@ -1038,6 +1063,59 @@ est AS (
 SELECT cls AS class_idx, lf,
        round((1.0 + least(greatest(e, 0.0), 0.9999)) / 2.0, 6) AS acc
 FROM est ORDER BY class_idx, lf
+"""
+
+# kg_multiclass_weighted: the full OvR scoring replay — UNROUNDED
+# accuracies -> log-odds weights -> per-candidate per-class z (vote * w,
+# same sorted-LF order as score_with_label_model_k; the shared
+# logit-prior constant is dropped — it cancels in the argmax) -> the same
+# c0 >= c1 >= c2 lowest-index argmax chain. Only the discrete pred_value
+# is compared, so 1-ulp ln differences between engines cannot flip it
+# (margins are O(weights)).
+_KG_MULTICLASS_WEIGHTED_SQL = _KG_MULTICLASS_CTE + """
+, votes AS (
+  SELECT cls, i, subj, v,
+    CASE WHEN b = cls THEN 1 ELSE -1 END AS vb,
+    CASE WHEN m3 = cls THEN 1 ELSE -1 END AS v3,
+    CASE WHEN m5 IS NULL THEN 0 WHEN m5 = cls THEN 1 ELSE -1 END AS v5
+  FROM lf CROSS JOIN (SELECT unnest([0, 1, 2]) AS cls)
+),
+mo AS (
+  SELECT cls,
+    SUM(vb*v3) / CAST(SUM(abs(vb*v3)) AS DOUBLE) AS e_b3,
+    SUM(vb*v5) / CAST(SUM(abs(vb*v5)) AS DOUBLE) AS e_b5,
+    SUM(v3*v5) / CAST(SUM(abs(v3*v5)) AS DOUBLE) AS e_35
+  FROM votes GROUP BY cls
+),
+wt AS (
+  SELECT cls, ln(ab/(1.0-ab)) AS w_b, ln(a3/(1.0-a3)) AS w_3,
+         ln(a5/(1.0-a5)) AS w_5
+  FROM (
+    SELECT cls,
+      (1.0 + least(greatest(sqrt(abs((e_b3*e_b5)/e_35)), 0.0), 0.9999))/2.0 AS ab,
+      (1.0 + least(greatest(sqrt(abs((e_b3*e_35)/e_b5)), 0.0), 0.9999))/2.0 AS a3,
+      (1.0 + least(greatest(sqrt(abs((e_b5*e_35)/e_b3)), 0.0), 0.9999))/2.0 AS a5
+    FROM mo)
+),
+z AS (
+  SELECT vo.i, vo.subj, vo.v, vo.cls,
+         vo.vb*w.w_b + vo.v3*w.w_3 + vo.v5*w.w_5 AS z
+  FROM votes vo JOIN wt w USING (cls)
+),
+pick AS (
+  SELECT i, subj, v,
+    CASE WHEN z0 >= z1 AND z0 >= z2 THEN 'cold'
+         WHEN z1 >= z2 THEN 'warm' ELSE 'hot' END AS pred_value
+  FROM (
+    SELECT i, subj, v,
+      MAX(CASE WHEN cls = 0 THEN z END) AS z0,
+      MAX(CASE WHEN cls = 1 THEN z END) AS z1,
+      MAX(CASE WHEN cls = 2 THEN z END) AS z2
+    FROM z GROUP BY i, subj, v)
+)
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       subj, v AS obj, pred_value
+FROM pick ORDER BY url, subj, obj
 """
 
 # kg_features oracle: per-(url, slot_family) feature-key counts rebuilt from
@@ -2401,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_weighted": q_kg_triples_weighted,
         "kg_multiclass": q_kg_multiclass,
         "kg_multiclass_model": q_kg_multiclass_model,
+        "kg_multiclass_weighted": q_kg_multiclass_weighted,
         "kg_incremental": q_kg_incremental,
         "kg_features_lingual": q_kg_features_lingual,
         "kg_stream_mentions": q_kg_stream_mentions,
@@ -2477,6 +2556,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_weighted": gold_triples_sql(),
         "kg_multiclass": _KG_MULTICLASS_SQL,
         "kg_multiclass_model": _KG_MULTICLASS_MODEL_SQL,
+        "kg_multiclass_weighted": _KG_MULTICLASS_WEIGHTED_SQL,
         "kg_incremental": _KG_PART_MENTIONS_SQL,
         "kg_features_lingual": _KG_FEATURES_LINGUAL_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
