@@ -1817,6 +1817,45 @@ def q_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (functions/sampling.py):
+    per-language Bernoulli rates keyed on md5(doc_id || salt) — the kept
+    set is identical across engines/partitionings/reruns, so the oracle
+    reproduces it exactly (hex-nibble md5 threshold in SQL). The 100 TB
+    shape is a pure filter: predicate-pushdown friendly, zero shuffles."""
+    from fonduer_spark.functions.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = stratified_sample(
+        d, "lang", {"en": 0.8, "zh": 0.3, "es": 0.3},
+        salt="bench", default_rate=0.1)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "lang").orderBy("doc_id")
+
+
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing
+    (sampling.pack_token_stream): every document's global token start
+    offset, bin id and in-bin offset under a 2048-token capacity. The
+    distributed two-phase prefix sum (per-bucket subtotals + broadcast
+    prefix offsets + partition-local window) must equal the oracle's
+    global SUM() OVER (ORDER BY doc_id) — exact integer arithmetic, so
+    the equality is bitwise. bucket_size=100 forces the multi-bucket
+    path even at sf0.01."""
+    from fonduer_spark.functions.sampling import pack_token_stream
+
+    out = pack_token_stream(
+        _docs(spark, sf_dir), capacity=2048,
+        n_tokens=ts.token_count(F.col("text")), bucket_size=100)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("bin_offset").cast("long").alias("bin_offset"),
+    ).orderBy("doc_id")
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-token ratio, top-bigram
     fraction) — relational bigram census, not per-row O(n^2)."""
@@ -1837,6 +1876,45 @@ SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS BIGINT)
     AS n_tokens
 FROM documents ORDER BY doc_id
+"""
+
+# text_sample oracle: the md5-threshold Bernoulli keep-set replayed
+# exactly — hash = first 8 md5 hex nibbles as a 32-bit integer, kept iff
+# hash / 2^32 < the stratum rate. The division by a power of two is exact
+# in binary FP and hash-value spacing (2^-32) dwarfs the double-literal
+# rounding of the rates, so the comparison cannot flip between engines.
+_TEXT_SAMPLE_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE {_duck_hex8("md5(CAST(doc_id AS VARCHAR) || ':bench')", 1)}
+      / 4294967296.0
+      < CASE lang WHEN 'en' THEN CAST(0.8 AS DOUBLE)
+                  WHEN 'zh' THEN CAST(0.3 AS DOUBLE)
+                  WHEN 'es' THEN CAST(0.3 AS DOUBLE)
+                  ELSE CAST(0.1 AS DOUBLE) END
+ORDER BY doc_id
+"""
+
+# text_pack oracle: the packing layout from ONE global window — the
+# distributed two-phase prefix sum must reproduce it bit-for-bit (all
+# integer arithmetic; 'div'/% match DuckDB's // and %).
+_TEXT_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+  FROM documents
+), p AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 2048 AS BIGINT) AS bin_id,
+       CAST(start_offset % 2048 AS BIGINT) AS bin_offset
+FROM p ORDER BY doc_id
 """
 
 _SW = ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS)
@@ -2511,6 +2589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_curate": q_text_curate,
         "text_pii": q_text_pii,
+        "text_sample": q_text_sample,
+        "text_pack": q_text_pack,
         # similarity family
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -2584,6 +2664,8 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _REPETITION_SQL,
         "text_curate": _TEXT_CURATE_SQL,
         "text_pii": _TEXT_PII_SQL,
+        "text_sample": _TEXT_SAMPLE_SQL,
+        "text_pack": _TEXT_PACK_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_ann_lsh": _SIM_ANN_LSH_SQL,
         "sim_ann_ivf": _SIM_ANN_IVF_SQL,

@@ -1,0 +1,159 @@
+"""Deterministic corpus sampling, mixing, and sequence packing.
+
+The training-data operations a 100 TB pipeline runs between curation and
+tokenization:
+
+- ``deterministic_sample`` / ``stratified_sample``: reproducible Bernoulli
+  sampling keyed on md5(id || salt) — the SAME rows are kept on every
+  rerun, any engine, any partitioning (unlike ``DataFrame.sample``, whose
+  output depends on partition layout). md5-thresholding makes the sample
+  SQL-reproducible, so the driver oracle checks the exact kept set.
+- ``weighted_mix``: tagged union of per-source deterministic samples — the
+  standard corpus-mixing step (e.g. 3 parts web, 1 part reference text)
+  with exact per-source reproducibility.
+- ``pack_token_stream``: GPT-style concat-and-chunk packing — lay every
+  document's tokens end to end in doc_id order and cut fixed-capacity
+  bins; each doc gets its global start offset, bin id, and offset within
+  the bin. The cumulative sum is computed SCALE-SAFELY: per-range-bucket
+  subtotals are aggregated (one small collect of n_buckets rows), prefix
+  offsets broadcast back, and the within-bucket cumsum runs as a
+  partitionBy(bucket) window — no global single-partition window, ever.
+  Integer arithmetic end to end => bit-identical to the oracle's global
+  ``SUM() OVER (ORDER BY doc_id)`` replay.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5 hex is uniform; the first 8 hex digits give a uniform 32-bit integer
+_MD5_SPACE = float(1 << 32)
+
+
+def _keep_hash(id_col: Column, salt: str) -> Column:
+    """Uniform [0, 1) double from md5(id || ':' || salt) — deterministic
+    across engines, partitionings, and reruns."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_MD5_SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    salt: str = "sample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff hash(id, salt) < rate. Reproducible Bernoulli
+    sample — a pure filter (predicate-pushdown friendly, no shuffle)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(_keep_hash(F.col(id_col), salt) < F.lit(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    salt: str = "sample",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. keep 100% of high-quality docs,
+    10% of the tail): rate resolves via a literal when-chain on the
+    stratum column — still one shuffle-free filter."""
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} must be in [0, 1]")
+    rate = F.lit(float(default_rate))
+    for k, r in rates.items():
+        rate = F.when(F.col(strata_col) == k, F.lit(float(r))).otherwise(rate)
+    return df.where(_keep_hash(F.col(id_col), salt) < rate)
+
+
+def weighted_mix(
+    sources: Sequence[Tuple[DataFrame, float, str]],
+    salt: str = "mix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus mixing: union of per-source deterministic samples, each row
+    tagged with its source name. ``sources`` = [(df, rate, tag), ...];
+    schemas must align (unionByName)."""
+    out: Optional[DataFrame] = None
+    for df, rate, tag in sources:
+        part = deterministic_sample(df, rate, salt=f"{salt}:{tag}",
+                                    id_col=id_col) \
+            .withColumn("mix_source", F.lit(tag))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("weighted_mix needs at least one source")
+    return out
+
+
+def pack_token_stream(
+    docs: DataFrame,
+    capacity: int,
+    n_tokens: Optional[Column] = None,
+    id_col: str = "doc_id",
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents ordered by ``id_col``
+    form one global token stream cut into ``capacity``-token bins.
+
+    Output columns: id, n_tokens, start_offset (global, exclusive-prefix),
+    bin_id = start_offset // capacity, bin_offset = start_offset %
+    capacity. A document whose tokens straddle a bin boundary belongs to
+    the bin its FIRST token lands in (the chunker splits it downstream) —
+    exactly the GPT-style packing convention.
+
+    Scale design (the two-phase distributed prefix sum): rows bucket by
+    id range; per-bucket token subtotals aggregate to the driver (ONE row
+    per bucket — at 10^12 docs / 100k-per-bucket that is 10^7 small rows,
+    still driver-safe; raise bucket_size with corpus size), exclusive
+    prefix offsets broadcast back via a range join on the bucket id, and
+    the within-bucket running sum is a partitionBy(bucket) window — the
+    global ORDER BY window that would serialize the corpus through one
+    partition never appears in the plan (plan-asserted in tests).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if n_tokens is None:
+        # whitespace tokens, empty-safe
+        n_tokens = F.when(
+            F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+        ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    df = docs.select(F.col(id_col),
+                     n_tokens.cast("long").alias("n_tokens"))
+    df = df.withColumn(
+        "_bucket", (F.col(id_col) / F.lit(bucket_size)).cast("long"))
+
+    totals = (
+        df.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))
+        .orderBy("_bucket").collect()
+    )
+    prefix = {}
+    acc = 0
+    for r in totals:
+        prefix[r._bucket] = acc
+        acc += r._tot
+    spark = docs.sparkSession
+    pre = spark.createDataFrame(
+        [(b, off) for b, off in prefix.items()],
+        "_bucket long, _prefix long")
+
+    w = Window.partitionBy("_bucket").orderBy(id_col)
+    out = (
+        df.join(F.broadcast(pre), "_bucket")
+        .withColumn(
+            "start_offset",
+            F.col("_prefix")
+            + F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("bin_id",
+                    F.expr(f"start_offset div {int(capacity)}"))
+        .withColumn("bin_offset",
+                    F.col("start_offset") % F.lit(capacity))
+    )
+    return out.select(id_col, "n_tokens", "start_offset", "bin_id",
+                      "bin_offset")

@@ -1,0 +1,111 @@
+"""Deterministic sampling / mixing / sequence packing
+(fonduer_spark/functions/sampling.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from fonduer_spark.functions.sampling import (
+    deterministic_sample,
+    pack_token_stream,
+    stratified_sample,
+    weighted_mix,
+)
+
+
+def docs(spark, n=400):
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7)),
+             ["en", "de", "fr"][i % 3]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _py_keep(i, salt, rate):
+    h = int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8], 16)
+    return h / 2**32 < rate
+
+
+def test_sample_matches_reference_hash_and_is_stable(spark):
+    d = docs(spark)
+    got = {r.doc_id for r in
+           deterministic_sample(d, 0.3, salt="s1").collect()}
+    want = {i for i in range(400) if _py_keep(i, "s1", 0.3)}
+    assert got == want
+    # partitioning-independent: same kept set at any layout
+    got2 = {r.doc_id for r in
+            deterministic_sample(d.repartition(17), 0.3, salt="s1").collect()}
+    assert got2 == got
+    # different salt => different (but deterministic) set
+    got3 = {r.doc_id for r in
+            deterministic_sample(d, 0.3, salt="s2").collect()}
+    assert got3 != got
+    # roughly the requested rate
+    assert 0.2 < len(got) / 400 < 0.4
+    with pytest.raises(ValueError, match="rate"):
+        deterministic_sample(d, 1.5)
+
+
+def test_stratified_rates(spark):
+    d = docs(spark)
+    out = stratified_sample(d, "lang", {"en": 1.0, "de": 0.0},
+                            salt="s", default_rate=0.5)
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by.get("en", ())) == len([i for i in range(400) if i % 3 == 0])
+    assert "de" not in by                     # rate 0.0 drops the stratum
+    fr = {i for i in range(400) if i % 3 == 2 and _py_keep(i, "s", 0.5)}
+    assert by["fr"] == fr                     # default rate applies
+    with pytest.raises(ValueError, match="stratum"):
+        stratified_sample(d, "lang", {"en": 2.0})
+
+
+def test_weighted_mix_tags_and_rates(spark):
+    a = docs(spark, 100)
+    b = docs(spark, 100)
+    out = weighted_mix([(a, 1.0, "web"), (b, 0.2, "ref")], salt="m")
+    rows = out.collect()
+    tags = {r.mix_source for r in rows}
+    assert tags == {"web", "ref"}
+    n_web = sum(r.mix_source == "web" for r in rows)
+    n_ref = sum(r.mix_source == "ref" for r in rows)
+    assert n_web == 100
+    assert n_ref == len(
+        {i for i in range(100) if _py_keep(i, "m:ref", 0.2)})
+    with pytest.raises(ValueError, match="source"):
+        weighted_mix([])
+
+
+def test_pack_matches_sequential_prefix(spark):
+    """The distributed two-phase prefix sum equals the sequential python
+    layout exactly, across a bucket_size that forces many buckets."""
+    d = docs(spark)
+    out = {r.doc_id: (r.n_tokens, r.start_offset, r.bin_id, r.bin_offset)
+           for r in pack_token_stream(d, capacity=10,
+                                      bucket_size=37).collect()}
+    acc = 0
+    for i in range(400):
+        n = i % 7
+        assert out[i] == (n, acc, acc // 10, acc % 10), i
+        acc += n
+    # partitioning-independent
+    out2 = {r.doc_id: (r.n_tokens, r.start_offset, r.bin_id, r.bin_offset)
+            for r in pack_token_stream(d.repartition(13), capacity=10,
+                                       bucket_size=37).collect()}
+    assert out2 == out
+    with pytest.raises(ValueError, match="capacity"):
+        pack_token_stream(d, capacity=0)
+
+
+def test_pack_plan_has_no_global_window(spark):
+    """Scale assertion: the packing plan must not serialize the corpus
+    through a single partition — no `Exchange SinglePartition` feeding the
+    running-sum window (the two-phase prefix sum exists precisely to avoid
+    the global ORDER BY window)."""
+    d = docs(spark)
+    df = pack_token_stream(d, capacity=10, bucket_size=37)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-bucket window is still a window
