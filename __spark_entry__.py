@@ -1447,6 +1447,16 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL end to end (dd.near_dup_keep): verified LSH pairs
+    -> connected components -> smallest-id canonical per cluster, oracle-
+    checked through the full composition (md5 signatures, band joins,
+    in-bucket Jaccard verify, recursive transitive closure)."""
+    return dd.near_dup_keep(
+        _docs(spark, sf_dir), k=16, bands=8, shingle_n=3, threshold=0.1
+    ).orderBy("doc_id")
+
+
 def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-LSH + in-bucket
     cosine verify (never all-pairs; the 100-TB shape, mirroring
@@ -1628,6 +1638,39 @@ v AS (
 )
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jaccard
 FROM v WHERE jaccard >= 0.1 ORDER BY a, b
+"""
+
+# dedup_keep oracle: the verified-pairs CTE above, closed transitively by
+# a recursive CTE (smallest reachable id = canonical, numeric min == the
+# engine's zero-padded lexicographic min), kept = doc is its canonical.
+_DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS doc, {_DD_SHINGLES3} AS shingles FROM documents
+),
+sig AS (SELECT doc, {_LSH_SIG_COLS} FROM sh),
+keyed AS (SELECT doc, unnest([{_LSH_BAND_KEYS}]) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM keyed x JOIN keyed y USING (bk) WHERE x.doc < y.doc
+),
+e AS (
+  SELECT a, b FROM cand
+  JOIN sh sa ON sa.doc = a JOIN sh sb ON sb.doc = b
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
+        (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.1
+),
+verts AS (SELECT a AS x FROM e UNION SELECT b FROM e),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+reach AS (
+  SELECT x AS v, x AS c FROM verts
+  UNION
+  SELECT s.b AS v, r.c AS c FROM reach r JOIN sym s ON s.a = r.v
+),
+comp AS (SELECT v, min(c) AS canonical FROM reach GROUP BY v)
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(canonical AS BIGINT) AS canonical,
+       CAST(CASE WHEN v = canonical THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM comp ORDER BY doc_id
 """
 
 def _duck_list(vals) -> str:
@@ -2577,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_minhash_km": q_dedup_minhash_km,
         "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_keep": q_dedup_keep,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embcos": q_dedup_embcos,
         "dedup_simhash": q_dedup_simhash,
@@ -2653,6 +2697,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
         "dedup_minhash_km": _DEDUP_MINHASH_KM_SQL,
         "dedup_lsh_verified": _DEDUP_LSH_VERIFIED_SQL,
+        "dedup_keep": _DEDUP_KEEP_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embcos": _DEDUP_EMBCOS_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,

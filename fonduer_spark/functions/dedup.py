@@ -192,6 +192,46 @@ def lsh_verified_pairs(
     )
 
 
+def near_dup_keep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """The operation a curation pipeline actually runs: near-dup REMOVAL.
+    lsh_verified_pairs -> undirected connected components over the verified
+    pairs -> keep the smallest doc id per cluster. Output: one row per doc
+    that appears in at least one near-dup pair — (doc_id, canonical, kept)
+    with kept = 1 iff the doc IS its cluster's canonical; docs in no pair
+    are implicitly kept (joining this frame back with a left-anti on
+    kept = 0 is the drop step).
+
+    Ids travel through the CC operator as 12-digit zero-padded strings so
+    the lexicographic smallest-label propagation equals numeric min; the
+    whole composition (md5 signatures, band joins, in-bucket verify,
+    recursive closure) stays SQL-reproducible."""
+    pairs = lsh_verified_pairs(docs, id_col, text_col, k, bands,
+                               shingle_n, threshold)
+    from ..linking import connected_components
+
+    key = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(key("a").alias("a"), key("b").alias("b"))
+    verts = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    comp = connected_components(verts, edges)
+    return comp.select(
+        F.col("v").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("canonical"),
+        (F.col("v") == F.col("component")).cast("int").alias("kept"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

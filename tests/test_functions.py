@@ -168,6 +168,30 @@ def test_lsh_verified_pairs(spark, docs):
     assert all(j >= 0.1 for j in out.values())
 
 
+def test_near_dup_keep(spark, docs):
+    """Near-dup removal: pairs close transitively into clusters, the
+    smallest id is the kept canonical, docs outside any pair are absent
+    (implicitly kept)."""
+    rows = {r.doc_id: r for r in
+            dd.near_dup_keep(docs, k=16, bands=8, threshold=0.1).collect()}
+    cluster = {i for i, r in rows.items() if r.canonical == 0}
+    assert 0 in cluster and 1 in cluster          # the exact dup pair
+    assert rows[0].kept == 1
+    assert all(rows[i].kept == 0 for i in cluster if i != 0)
+    assert 3 not in rows and 4 not in rows        # singletons not listed
+    # transitive closure on a synthetic chain a~b, b~c (a!~c directly)
+    chain = spark.createDataFrame(
+        [(10, "aaa bbb ccc ddd eee fff"),
+         (11, "aaa bbb ccc ddd eee zzz"),
+         (12, "aaa qqq ccc ddd eee zzz")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.canonical, r.kept) for r in
+           dd.near_dup_keep(chain, k=16, bands=8, threshold=0.3).collect()}
+    assert set(got) == {10, 11, 12}
+    assert all(c == 10 for c, _ in got.values())
+    assert got[10][1] == 1 and got[11][1] == 0 and got[12][1] == 0
+
+
 def test_ann_multiprobe_recall(spark):
     """Recall@5 of the LSH ANN vs the exact top-k on real test embeddings:
     multiprobe (1-bit flips) is the recall knob — it must strictly improve
