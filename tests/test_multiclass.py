@@ -259,6 +259,39 @@ def test_label_model_facade_from_spec(spark):
     assert lm.cardinality == 3 and lm.values == VALUES
 
 
+def test_kary_majority_property_sweep(spark):
+    """Property sweep (one Spark job over many hypothesis-style random
+    vote tables, seeded): for arbitrary stored votes in {0..k}, the
+    engine's per-class counts/probs/argmax equal a python model — counts
+    from equality, probs = count/n_votes (uniform 1/k when all abstain),
+    argmax lowest-index on ties."""
+    import random
+
+    rng = random.Random(7)
+    k = 4
+    cases = []
+    for ci in range(300):
+        n_lfs = rng.randint(1, 6)
+        votes = [rng.randint(0, k) for _ in range(n_lfs)]
+        cases.append((f"c{ci}", "t", "u", votes))
+    labels = spark.createDataFrame(
+        cases, "candidate_sid string, candidate_type string, url string, "
+               "values array<int>")
+    labels = labels.withColumn(
+        "keys", F.transform(F.col("values"), lambda v: F.lit("lf")))
+    got = {r.candidate_sid: r for r in
+           majority_vote_marginals_k(labels, k).collect()}
+    for cid, _, _, votes in cases:
+        nv = sum(v != 0 for v in votes)
+        counts = [sum(v == c + 1 for v in votes) for c in range(k)]
+        probs = ([c / nv for c in counts] if nv else [1 / k] * k)
+        pred = counts.index(max(counts))
+        r = got[cid]
+        assert r.n_votes == nv, cid
+        assert r.pred_idx == pred, cid
+        assert all(abs(a - b) < 1e-12 for a, b in zip(r.probs, probs)), cid
+
+
 def test_label_model_binary_backcompat(spark):
     df = spark.createDataFrame(
         [(f"c{i}", "t", "u", i) for i in range(200)],

@@ -98,6 +98,32 @@ def test_pack_matches_sequential_prefix(spark):
         pack_token_stream(d, capacity=0)
 
 
+def test_pack_property_sweep(spark):
+    """Property sweep: random token counts (incl. zeros and empty-text
+    docs), random capacity/bucket_size — the distributed layout equals the
+    sequential python prefix sum for every doc."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = rng.randint(1, 150)
+        cap = rng.randint(1, 50)
+        bs = rng.choice([1, 3, 10, 1000])
+        counts = [rng.randint(0, 20) for _ in range(n)]
+        d = spark.createDataFrame(
+            [(i, " ".join("w" for _ in range(c)))
+             for i, c in enumerate(counts)],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.start_offset, r.bin_id,
+                          r.bin_offset)
+               for r in pack_token_stream(d, capacity=cap,
+                                          bucket_size=bs).collect()}
+        acc = 0
+        for i, c in enumerate(counts):
+            assert got[i] == (c, acc, acc // cap, acc % cap), (trial, i)
+            acc += c
+
+
 def test_pack_plan_has_no_global_window(spark):
     """Scale assertion: the packing plan must not serialize the corpus
     through a single partition — no `Exchange SinglePartition` feeding the
