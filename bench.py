@@ -647,11 +647,15 @@ if __name__ == "__main__":
                     help="regenerate BENCH/BASELINE.md from recorded history")
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--attempts", type=int, default=3,
+                    help="alternated leg attempts per scaling window "
+                         "(more attempts = better odds of catching a "
+                         "steal-quiet moment in BOTH legs)")
     args = ap.parse_args()
     if args.report_only:
         _write_baseline_md(args.sf_dir)
     elif args.scaling:
-        main_scaling(args.sf_dir)
+        main_scaling(args.sf_dir, attempts=args.attempts)
     elif args.kg_only:
         print(json.dumps(main_kg_only(args.cores, args.sf_dir)))
     else:

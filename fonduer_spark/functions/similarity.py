@@ -326,45 +326,55 @@ def lsh_bucketed_ann(
     """
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
-    q_parts = []
-    c_parts = []
-    for tbl in range(n_tables):
-        # table 0 keeps the legacy plane derivation (prefix "plane" /
-        # the given seed) so single-table results — and the SQL oracle —
-        # are unchanged; further tables draw independent planes
-        if family == "md5":
-            bucketed = emb.withColumn(
-                "bucket", md5_bucket(F.col(vec_col), dim, n_planes,
-                                     prefix=f"t{tbl}plane" if tbl else "plane"))
-        else:
-            bucketed = lsh_bucket_ids(emb, dim, n_planes, seed + tbl,
-                                      id_col, vec_col, family=family)
-        tb = F.lit(tbl)
-        q = bucketed.where(F.col(id_col).isin(list(query_ids))).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            tb.alias("qt"), F.col("bucket").alias("qb"),
+    # ALL tables' buckets in ONE projection over ONE corpus scan (a
+    # per-table union would re-read the corpus n_tables times — the scan
+    # is the dominant cost at 100 TB), then posexplode to (table, bucket)
+    # rows. Table 0 keeps the legacy plane derivation (prefix "plane" /
+    # the given seed) so single-table results — and the SQL oracle — are
+    # unchanged; further tables draw independent planes. Each bucket
+    # column is an independent expression (no shared heavy subtree), so
+    # Catalyst's missing cross-expression CSE costs nothing here.
+    if family == "md5":
+        bcols = [
+            md5_bucket(F.col(vec_col), dim, n_planes,
+                       prefix=f"t{tbl}plane" if tbl else "plane")
+            for tbl in range(n_tables)
+        ]
+    else:
+        planes_per_table = [_hyperplanes(dim, n_planes, seed + tbl)
+                            for tbl in range(n_tables)]
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _buckets(v: pd.Series) -> pd.Series:
+            mat = np.stack(v.to_numpy())
+            weights = 1 << np.arange(n_planes)
+            outs = np.stack([
+                ((mat @ p.T) > 0) @ weights for p in planes_per_table
+            ], axis=1).astype("int32")
+            return pd.Series(list(outs))
+
+        bcols = None
+    bucketed = emb.withColumn(
+        "buckets",
+        F.array(*bcols) if bcols is not None else _buckets(F.col(vec_col)))
+    c_all = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.posexplode("buckets").alias("ct", "cb"),
+    )
+    q_all = bucketed.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.posexplode("buckets").alias("qt", "qb"),
+    )
+    if multiprobe >= 1:
+        # probe set = own bucket + single-bit flips (distinct by
+        # construction, so the join never duplicates a neighbor)
+        probes = F.array(
+            F.col("qb"),
+            *[F.col("qb").bitwiseXOR(F.lit(1 << j))
+              for j in range(n_planes)],
         )
-        if multiprobe >= 1:
-            # probe set = own bucket + single-bit flips (distinct by
-            # construction, so the join never duplicates a neighbor)
-            probes = F.array(
-                F.col("qb"),
-                *[F.col("qb").bitwiseXOR(F.lit(1 << j))
-                  for j in range(n_planes)],
-            )
-            q = q.select("query_id", "qv", "qt",
-                         F.explode(probes).alias("qb"))
-        q_parts.append(q)
-        c_parts.append(bucketed.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-            tb.alias("ct"), F.col("bucket").alias("cb"),
-        ))
-    q_all = q_parts[0]
-    c_all = c_parts[0]
-    for part in q_parts[1:]:
-        q_all = q_all.unionByName(part)
-    for part in c_parts[1:]:
-        c_all = c_all.unionByName(part)
+        q_all = q_all.select("query_id", "qv", "qt",
+                             F.explode(probes).alias("qb"))
     cand = (
         F.broadcast(q_all)
         .join(c_all, (F.col("qt") == F.col("ct")) & (F.col("qb") == F.col("cb")))
