@@ -251,6 +251,25 @@ def test_ann_multitable_recall_and_default(spark):
         sim.lsh_bucketed_ann(emb, qids, dim=64, n_tables=0)
 
 
+def test_ann_multitable_single_scan(spark):
+    """Adding hash tables must NOT add corpus scans: all per-table buckets
+    come from one projection (posexploded), so the parquet scan count in
+    the plan is identical at 1 and 4 tables — at 100 TB the scan is the
+    dominant cost and a per-table union would multiply it."""
+    import re
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def scans(nt):
+        d = sim.lsh_bucketed_ann(emb, [0, 1], dim=64, k=3, n_planes=4,
+                                 multiprobe=1, n_tables=nt)
+        plan = d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted")
+        return len(re.findall(r"Scan parquet", plan))
+
+    assert scans(4) == scans(1)
+
+
 def test_bpe_token_count(spark):
     df = spark.createDataFrame(
         [(0, "hello world"), (1, "ab12cd!"), (2, ""), (3, "a-b c.d")],
