@@ -142,12 +142,71 @@ class SnapshotTable:
 
     def read(self, spark: SparkSession,
              snapshot_id: Optional[int] = None) -> DataFrame:
+        """Read a snapshot (latest by default) via its MANIFEST path — a
+        rollback snapshot's data lives in the directory of the snapshot it
+        restored, so the path cannot be reconstructed from the id."""
         if snapshot_id is None:
             latest = self.latest()
             if latest is None:
                 raise FileNotFoundError(f"no committed snapshot in {self.dir}")
             snapshot_id = latest.snapshot_id
-        return spark.read.parquet(os.path.join(self.dir, f"snapshot={snapshot_id}"))
+        by_id = {s["snapshot_id"]: s
+                 for s in self._read_manifest()["snapshots"]}
+        if snapshot_id in by_id:
+            return spark.read.parquet(by_id[snapshot_id]["path"])
+        # pre-manifest callers (or hand-built dirs): fall back to layout
+        return spark.read.parquet(
+            os.path.join(self.dir, f"snapshot={snapshot_id}"))
+
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Iceberg-style rollback: make an EARLIER snapshot current again
+        by committing a new manifest entry that points at its data
+        directory (no data copied, no history destroyed — time travel to
+        every prior snapshot still works, exactly Iceberg's
+        rollback-to-snapshot semantics)."""
+        man = self._read_manifest()
+        by_id = {s["snapshot_id"]: s for s in man["snapshots"]}
+        if snapshot_id not in by_id:
+            raise ValueError(
+                f"snapshot {snapshot_id} not in {self.name} manifest "
+                f"(have {sorted(by_id)})")
+        src = by_id[snapshot_id]
+        next_id = 1 + max(by_id)
+        snap = {**src, "snapshot_id": next_id,
+                "rolled_back_from": snapshot_id, "wall_ms": 0}
+        man["snapshots"].append(snap)
+        tmp_man = self._manifest_path + f".{uuid.uuid4().hex}"
+        with open(tmp_man, "w") as f:
+            json.dump(man, f, indent=1)
+        os.rename(tmp_man, self._manifest_path)
+        return Snapshot(self.name, next_id, snap["n_rows"], 0,
+                        snap["path"], snap.get("signature"))
+
+    def expire_snapshots(self, keep_last: int = 1) -> list:
+        """Iceberg's expire_snapshots: drop all but the newest
+        ``keep_last`` snapshots — manifest entries removed first (the
+        commit point), data directories deleted after, EXCEPT directories
+        still referenced by a surviving entry (a rollback points an alive
+        snapshot at an old directory). Returns the expired snapshot ids."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        man = self._read_manifest()
+        snaps = sorted(man["snapshots"], key=lambda s: s["snapshot_id"])
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        if not drop:
+            return []
+        man["snapshots"] = keep
+        tmp_man = self._manifest_path + f".{uuid.uuid4().hex}"
+        with open(tmp_man, "w") as f:
+            json.dump(man, f, indent=1)
+        os.rename(tmp_man, self._manifest_path)  # commit point
+        alive_paths = {s["path"] for s in keep}
+        for s in drop:
+            if s["path"] not in alive_paths and os.path.isdir(s["path"]):
+                shutil.rmtree(s["path"])
+        return [s["snapshot_id"] for s in drop]
 
 
 class CheckpointedPipeline:

@@ -20,6 +20,37 @@ def test_snapshot_commit_and_read(spark, tmp_path):
     assert t.latest().snapshot_id == 2
 
 
+def test_rollback_and_expire(spark, tmp_path):
+    """Iceberg maintenance semantics: rollback re-points current at an
+    earlier snapshot without destroying history; expire_snapshots drops
+    old entries + data but never a directory an alive (rolled-back)
+    snapshot still references."""
+    import os
+
+    t = SnapshotTable(str(tmp_path), "demo")
+    t.commit(spark.range(10).toDF("x"))
+    t.commit(spark.range(5).toDF("x"))
+    rb = t.rollback(1)
+    assert rb.snapshot_id == 3 and rb.n_rows == 10
+    assert t.read(spark).count() == 10           # current = old data again
+    assert t.read(spark, 2).count() == 5         # history intact
+    with pytest.raises(ValueError, match="not in"):
+        t.rollback(99)
+
+    # expire keeping only the rollback snapshot: snapshot 2's dir goes,
+    # snapshot 1's dir SURVIVES because alive snapshot 3 points at it
+    dropped = t.expire_snapshots(keep_last=1)
+    assert dropped == [1, 2]
+    assert t.latest().snapshot_id == 3
+    assert t.read(spark).count() == 10
+    assert os.path.isdir(os.path.join(str(tmp_path), "demo", "snapshot=1"))
+    assert not os.path.isdir(
+        os.path.join(str(tmp_path), "demo", "snapshot=2"))
+    assert t.expire_snapshots(keep_last=5) == []  # nothing to drop
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
+
+
 def test_signature_scoped_latest(spark, tmp_path):
     t = SnapshotTable(str(tmp_path), "sig")
     t.commit(spark.range(3).toDF("x"), signature="runA")
