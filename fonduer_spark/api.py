@@ -84,7 +84,7 @@ def candidate_subclass(
     else:
         nullables = (False,) * len(args)
 
-    spec_key = (args, table_name, cardinality, tuple(values))
+    spec_key = (args, table_name, cardinality, tuple(values), nullables)
     if class_name in _candidate_subclasses:
         spec, key = _candidate_subclasses[class_name]
         if key == spec_key:

@@ -209,15 +209,28 @@ def near_dup_keep(
     are implicitly kept (joining this frame back with a left-anti on
     kept = 0 is the drop step).
 
-    Ids travel through the CC operator as 12-digit zero-padded strings so
-    the lexicographic smallest-label propagation equals numeric min; the
-    whole composition (md5 signatures, band joins, in-bucket verify,
-    recursive closure) stays SQL-reproducible."""
+    Ids travel through the CC operator as 19-digit zero-padded strings
+    (every non-negative int64 fits — Spark's lpad TRUNCATES overlong
+    input, so a narrower pad would silently collide ids above its width)
+    so the lexicographic smallest-label propagation equals numeric min;
+    negative ids would break that invariant and fail fast via raise_error.
+    The whole composition (md5 signatures, band joins, in-bucket verify,
+    recursive closure) stays SQL-reproducible. The verified pairs frame is
+    persisted (it feeds the CC size guard and both CC strategies) —
+    long-lived drivers rely on LRU eviction, as with
+    extract_candidates_auto."""
     pairs = lsh_verified_pairs(docs, id_col, text_col, k, bands,
-                               shingle_n, threshold)
+                               shingle_n, threshold).persist()
     from ..linking import connected_components
 
-    key = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    def key(c):
+        col = F.col(c)
+        return F.when(
+            col < 0,
+            F.raise_error(F.concat(
+                F.lit("near_dup_keep requires non-negative ids, got "),
+                col.cast("string"))).cast("string"),
+        ).otherwise(F.lpad(col.cast("string"), 19, "0"))
     edges = pairs.select(key("a").alias("a"), key("b").alias("b"))
     verts = (
         edges.select(F.col("a").alias("v"))

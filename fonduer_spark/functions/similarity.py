@@ -318,8 +318,9 @@ def lsh_bucketed_ann(
     before scoring, so work is <= n_tables * the single-table cost. On data
     whose clusters individual random hyperplanes cut through, recall rises
     roughly geometrically in n_tables while each probe stays bucketed —
-    the LSH answer to the recall the data-dependent IVF quantizer gets for
-    free (ann_topk defaults to IVF for exactly that reason).
+    the 4-table configuration is exactly what ann_topk defaults to (IVF
+    probes far less per query but needs a representative quantizer to hold
+    recall on general queries — see ann_topk's docstring for the trade).
 
     Same output shape as cosine_topk; recall < 1 by construction (the scale
     path). Bucket assignment is deterministic given the seed.

@@ -48,8 +48,19 @@ def _map_value_space(df: DataFrame, name: str, expr: Column,
     value raises, exactly like the reference's ValueError."""
     dtype = df.select(expr.alias("_probe")).schema[0].dataType
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        # reference: "if the LF output is an int, it is already mapped"
-        return F.coalesce(expr.cast("int"), F.lit(ABSTAIN)) + F.lit(1)
+        # reference: "if the LF output is an int, it is already mapped" —
+        # but an out-of-range int would store an unmappable vote that
+        # silently leaks probability mass from majority_vote_marginals_k
+        # (counted in n_votes, in no class), so bound-check to [-1, k-1]
+        # and fail fast like the unknown-value branch below
+        stored = F.coalesce(expr.cast("int"), F.lit(ABSTAIN)) + F.lit(1)
+        return (
+            F.when((stored >= 0) & (stored <= len(values)), stored)
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"Can't parse label value for LF {name}: int "),
+                expr.cast("string"),
+                F.lit(f" outside [-1, {len(values) - 1}]"))).cast("int"))
+        )
     pos = F.array_position(
         F.array(*[F.lit(v) for v in values]), expr)
     return (
@@ -103,12 +114,25 @@ def _eval_lfs(
         val_idx = {v: i + 1 for i, v in enumerate(values)} if values else None
 
         def _stored(s: pd.Series, lf_name: str) -> pd.Series:
-            if val_idx is None or pd.api.types.is_integer_dtype(s):
+            if val_idx is None:
                 return s.fillna(ABSTAIN).astype("int32") + 1
+            k = len(val_idx)
+            if pd.api.types.is_integer_dtype(s):
+                out = s.fillna(ABSTAIN).astype("int32") + 1
+                bad = out[(out < 0) | (out > k)]
+                if len(bad):
+                    raise ValueError(
+                        f"Can't parse label value for LF {lf_name}: int "
+                        f"{int(bad.iloc[0]) - 1} outside [-1, {k - 1}]")
+                return out
             def one(x):
                 if x is None or (isinstance(x, float) and pd.isna(x)):
                     return 0
                 if isinstance(x, int) and not isinstance(x, bool):
+                    if not (-1 <= x < k):
+                        raise ValueError(
+                            f"Can't parse label value for LF {lf_name}: "
+                            f"int {x} outside [-1, {k - 1}]")
                     return x + 1
                 if x in val_idx:
                     return val_idx[x]

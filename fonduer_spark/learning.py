@@ -196,6 +196,31 @@ def encode_marked(marked: DataFrame, word2id: Dict[str, int]) -> DataFrame:
     return out
 
 
+def bounded_fit_rows(marked: DataFrame, marginals: DataFrame,
+                     m_cols: List[str], max_fit_candidates: int):
+    """The shared bounded-fit collection contract (used by
+    train_sequence_model and torch_lstm.train_lstm_model — ONE sampler so
+    the cap and determinism conventions cannot diverge): cap the rows with
+    a DETERMINISTIC xxhash64 sample when the candidate count exceeds
+    ``max_fit_candidates``, join the marginals BEFORE collecting (the
+    label lookup is bounded by the same cap — no second unbounded O(N)
+    driver collect), and sort driver-side so the float accumulation — and
+    hence any fit — is bit-deterministic regardless of the join shuffle's
+    output order. Returns collected Rows with a ``_fit_prob`` column."""
+    fit_df = marked.select("candidate_sid", *m_cols)
+    n_total = fit_df.count()
+    if n_total > max_fit_candidates:
+        frac_ppm = int(1_000_000 * max_fit_candidates / n_total)
+        fit_df = fit_df.where(
+            F.pmod(F.xxhash64("candidate_sid"), F.lit(1_000_000)) < frac_ppm)
+    return sorted(
+        fit_df.join(
+            marginals.select("candidate_sid",
+                             F.col("prob").alias("_fit_prob")),
+            "candidate_sid", "left").collect(),
+        key=lambda r: r["candidate_sid"])
+
+
 def train_sequence_model(
     marked: DataFrame,
     marginals: DataFrame,
@@ -221,23 +246,7 @@ def train_sequence_model(
     fit point. Scoring stays fully distributed (score_sequences broadcasts
     the weight map), so only the fit is subsampled."""
     m_cols = [c for c in marked.columns if c.endswith("_marked")]
-    fit_df = marked.select("candidate_sid", *m_cols)
-    n_total = fit_df.count()
-    if n_total > max_fit_candidates:
-        frac_ppm = int(1_000_000 * max_fit_candidates / n_total)
-        fit_df = fit_df.where(
-            F.pmod(F.xxhash64("candidate_sid"), F.lit(1_000_000)) < frac_ppm)
-    # join the marginals to the (sampled) fit rows BEFORE collecting: the
-    # label lookup is bounded by the same max_fit_candidates cap as the
-    # sequences — no second unbounded O(N) driver collect. Driver-side sort
-    # pins the row order (the join shuffle's output order is not stable),
-    # keeping the float accumulation — and hence the fit — bit-deterministic.
-    rows = sorted(
-        fit_df.join(
-            marginals.select("candidate_sid",
-                             F.col("prob").alias("_fit_prob")),
-            "candidate_sid", "left").collect(),
-        key=lambda r: r["candidate_sid"])
+    rows = bounded_fit_rows(marked, marginals, m_cols, max_fit_candidates)
     vocab: Dict[str, int] = {}
     seqs: List[List[int]] = []
     y: List[float] = []

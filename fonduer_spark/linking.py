@@ -106,17 +106,19 @@ def _fits_on_driver(vertices: DataFrame, edges: DataFrame,
     """Route to the driver-side union-find only when BOTH the row count and
     the estimated payload bytes are small: a row-count-only guard lets a
     graph of few-but-huge stable_id strings (multi-KB URLs, concatenated
-    keys) pressure driver memory. Byte estimate = exact sum of string
-    lengths — one cheap aggregate on each frame, same cost class as the
-    count it accompanies."""
-    n = vertices.count() + edges.count()
-    if n > driver_threshold:
+    keys) pressure driver memory. Count and byte-sum are fused into ONE
+    aggregate per frame (two jobs total), so the guard costs the same as
+    the bare counts it replaced — an unpersisted upstream lineage (e.g.
+    near_dup_keep's LSH pipeline) is not recomputed extra times."""
+    vr = vertices.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("v")).alias("b")).collect()[0]
+    er = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("a") + F.length("b")).alias("b")).collect()[0]
+    if (vr.n + er.n) > driver_threshold:
         return False
-    vb = vertices.agg(
-        F.sum(F.length("v")).alias("b")).collect()[0].b or 0
-    eb = edges.agg(
-        F.sum(F.length("a") + F.length("b")).alias("b")).collect()[0].b or 0
-    return (vb + eb) <= driver_max_bytes
+    return ((vr.b or 0) + (er.b or 0)) <= driver_max_bytes
 
 
 def connected_components(

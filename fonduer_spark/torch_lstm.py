@@ -25,7 +25,6 @@ from __future__ import annotations
 from typing import Dict, Iterator, List, Optional, Tuple
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -110,22 +109,16 @@ def train_lstm_model(
     plain state dict (python lists) that score_lstm broadcasts — no torch
     objects cross the driver/executor boundary uninstantiated."""
     torch = _require_torch()
+    from .learning import bounded_fit_rows
+
     m_cols = sorted(c for c in marked.columns if c.endswith("_marked"))
-    fit_df = marked.select("candidate_sid", *m_cols)
-    n_total = fit_df.count()
-    if n_total > max_fit_candidates:
-        frac_ppm = int(1_000_000 * max_fit_candidates / n_total)
-        fit_df = fit_df.where(
-            F.pmod(F.xxhash64("candidate_sid"), F.lit(1_000_000)) < frac_ppm)
-    rows = sorted(
-        fit_df.join(
-            marginals.select("candidate_sid",
-                             F.col("prob").alias("_fit_prob")),
-            "candidate_sid", "left").collect(),
-        key=lambda r: r["candidate_sid"])
+    rows = bounded_fit_rows(marked, marginals, m_cols, max_fit_candidates)
 
     def encode(toks):
-        return [word2id.get(t, word2id.get("<unk>", 1)) for t in toks or []]
+        # `toks` may be a list (collect) or numpy array (Arrow batch);
+        # ndarray truthiness raises, so test None explicitly
+        toks = [] if toks is None else list(toks)
+        return [word2id.get(t, word2id.get("<unk>", 1)) for t in toks]
 
     slot_seqs = [[encode(r[c]) for r in rows] for c in m_cols]
     y = torch.tensor([
@@ -183,7 +176,10 @@ def score_lstm(marked: DataFrame, model_dict: Dict) -> DataFrame:
         unk = w2i.get("<unk>", 1)
 
         def encode(toks):
-            return [w2i.get(t, unk) for t in toks or []]
+            # Arrow batches deliver array columns as numpy arrays, whose
+            # truthiness raises for >1 element — test None explicitly
+            toks = [] if toks is None else list(toks)
+            return [w2i.get(t, unk) for t in toks]
 
         for pdf in batches:
             ids = [

@@ -192,6 +192,25 @@ def test_near_dup_keep(spark, docs):
     assert got[10][1] == 1 and got[11][1] == 0 and got[12][1] == 0
 
 
+def test_near_dup_keep_wide_ids_no_truncation(spark):
+    """Ids above 10^12 must survive the string round-trip (lpad TRUNCATES
+    overlong input — a 12-wide pad collided 13-digit ids); negative ids
+    fail fast instead of silently breaking the min-label invariant."""
+    big = 1_000_000_000_000
+    d = spark.createDataFrame(
+        [(big, "aaa bbb ccc ddd"), (big + 1, "aaa bbb ccc ddd"),
+         (7, "zzz yyy xxx www"), (8, "zzz yyy xxx www")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.canonical for r in
+           dd.near_dup_keep(d, k=16, bands=8, threshold=0.5).collect()}
+    assert got == {big: big, big + 1: big, 7: 7, 8: 7}
+    neg = spark.createDataFrame(
+        [(-3, "aaa bbb ccc ddd"), (-5, "aaa bbb ccc ddd")],
+        "doc_id long, text string")
+    with pytest.raises(Exception, match="non-negative"):
+        dd.near_dup_keep(neg, k=16, bands=8, threshold=0.5).collect()
+
+
 def test_ann_multiprobe_recall(spark):
     """Recall@5 of the LSH ANN vs the exact top-k on real test embeddings:
     multiprobe (1-bit flips) is the recall knob — it must strictly improve

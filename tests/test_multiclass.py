@@ -108,6 +108,32 @@ def test_unknown_value_raises(spark):
                   values=VALUES).collect()
 
 
+def test_out_of_range_int_raises(spark):
+    """An already-mapped int vote outside [-1, k-1] would silently leak
+    probability mass (counted in n_votes, in no class) — both the column
+    and the pandas branch fail fast instead."""
+    with pytest.raises(Exception, match="outside"):
+        apply_lfs(cands(spark, 3), {"bad": F.lit(7)},
+                  values=VALUES).collect()
+    with pytest.raises(Exception, match="outside"):
+        apply_lfs(cands(spark, 3),
+                  {"bad": lambda pdf: pdf["v"] * 0 + 7},
+                  values=VALUES).collect()
+    # boundary values still pass: -1 (abstain) and k-1
+    ok = apply_lfs(cands(spark, 2),
+                   {"hi": F.lit(2), "ab": F.lit(-1)}, values=VALUES)
+    r = ok.collect()[0]
+    assert dict(zip(r.keys, r.values)) == {"hi": 3, "ab": 0}
+
+
+def test_registry_nullables_conflict():
+    from fonduer_spark.api import candidate_subclass
+
+    candidate_subclass("McNulReg", ["a", "b"], nullables=[False, True])
+    with pytest.raises(ValueError, match="incompatible"):
+        candidate_subclass("McNulReg", ["a", "b"])
+
+
 def test_pandas_lf_value_space(spark):
     def plf(pdf):
         return pdf["v"].map(lambda x: None if x == 0 else
