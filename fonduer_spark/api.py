@@ -291,8 +291,13 @@ class Labeler:
         self.spark = spark
 
     def apply(self, candidates: DataFrame, lfs: Dict,
-              train: bool = False) -> DataFrame:
-        labels = apply_lfs(candidates, lfs)
+              train: bool = False, values: Optional[Sequence] = None
+              ) -> DataFrame:
+        """``values`` (or a CandidateSpec) switches LF output mapping to
+        the candidate class's k-ary value space (labeler.py:436-465)."""
+        if isinstance(values, CandidateSpec):
+            values = values.values
+        labels = apply_lfs(candidates, lfs, values=values)
         if train:
             self.key_table = label_keys(labels)
         return labels
