@@ -1899,6 +1899,38 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal oracle-checked end to end: a
+    deterministic cookie-banner line is injected into every even doc
+    (same derived-input pattern as kg_incremental), its document
+    frequency (50%) exceeds the 30% threshold, and
+    strip_boilerplate_lines must remove EXACTLY it — the md5 of every
+    cleaned text equals the md5 of the original untouched text, which is
+    the entire oracle. A removed content line, a surviving banner, or a
+    reordered rebuild all flip the hash."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("COOKIE NOTICE ACCEPT ALL\n"), F.col("text")))
+        .otherwise(F.col("text")))
+    out = ts.strip_boilerplate_lines(aug, max_df_frac=0.3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text_clean").alias("clean_md5"),
+        "n_lines_removed",
+    ).orderBy("doc_id")
+
+
+_TEXT_BOILERPLATE_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(text) AS clean_md5,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_lines_removed
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-token ratio, top-bigram
     fraction) — relational bigram census, not per-row O(n^2)."""
@@ -2701,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_sample": q_text_sample,
         "text_pack": q_text_pack,
+        "text_boilerplate": q_text_boilerplate,
         # similarity family
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -2778,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii": _TEXT_PII_SQL,
         "text_sample": _TEXT_SAMPLE_SQL,
         "text_pack": _TEXT_PACK_SQL,
+        "text_boilerplate": _TEXT_BOILERPLATE_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_ann_lsh": _SIM_ANN_LSH_SQL,
         "sim_ann_mt": _SIM_ANN_MT_SQL,

@@ -197,3 +197,68 @@ def scrub_pii(text: Column,
     deterministic and reproduced by the oracle."""
     no_email = F.regexp_replace(text, EMAIL_RGX, email_token)
     return F.regexp_replace(no_email, LONG_DIGITS_RGX, digits_token)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (CCNet-style curation): a newline-delimited line
+# whose document frequency exceeds a corpus fraction is navigation/cookie/
+# footer chrome, not content — drop it from every document.
+# ---------------------------------------------------------------------------
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    max_df_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove lines shared by more than ``max_df_frac`` of documents.
+
+    Scale shape: posexplode lines (order captured as the position), ONE
+    groupBy computing per-line distinct-document frequency, the (small)
+    boilerplate set broadcast into a left-anti join, then an
+    order-preserving rebuild (collect_list of (pos, line) structs,
+    array_sort — pos is unique per doc, so document order is exact).
+    Documents whose every line is boilerplate survive with empty text
+    (right join back to the corpus). One count() action fixes the corpus
+    size for the threshold.
+
+    Output: (id, text_clean, n_lines_removed).
+    """
+    if not 0.0 < max_df_frac <= 1.0:
+        raise ValueError("max_df_frac must be in (0, 1]")
+    n_docs = docs.count()
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    freq = (
+        lines.where(F.length(F.trim("line")) > 0)
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+    boiler = freq.where(F.col("df") > F.lit(max_df_frac * n_docs))
+    kept = lines.join(F.broadcast(boiler.select("line")), "line", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    n_lines = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("_n_lines"))
+    return (
+        n_lines.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long").alias("n_lines_removed"),
+        )
+    )

@@ -442,6 +442,28 @@ def test_multimodal_resize_and_frames(spark):
         mm.sample_frames(media, decoder="real").collect()
 
 
+def test_strip_boilerplate_lines(spark):
+    """CCNet-style removal: lines above the document-frequency threshold
+    vanish from every doc, content lines and their ORDER survive, an
+    all-boilerplate doc yields empty text, empty lines never count
+    toward boilerplate."""
+    d = spark.createDataFrame(
+        [(0, "COOKIE\nalpha\nFOOTER"),
+         (1, "COOKIE\nbeta\ngamma\nFOOTER"),
+         (2, "COOKIE\n\ndelta\nFOOTER"),
+         (3, "COOKIE\nFOOTER")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ts.strip_boilerplate_lines(d, max_df_frac=0.6).collect()}
+    assert out[0].text_clean == "alpha"
+    assert out[1].text_clean == "beta\ngamma"       # order preserved
+    assert out[2].text_clean == "\ndelta"           # empty line kept
+    assert out[3].text_clean == "" and out[3].n_lines_removed == 2
+    assert out[0].n_lines_removed == 2
+    with pytest.raises(ValueError, match="max_df_frac"):
+        ts.strip_boilerplate_lines(d, max_df_frac=0.0)
+
+
 def test_pii_scrub(spark):
     """PII redaction semantics: emails mask before digit runs (an email's
     digits never double-match), short digit runs survive, counts align."""
