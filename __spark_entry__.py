@@ -1931,6 +1931,49 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination oracle-checked end to end: the
+    'benchmark' is a deterministic 8-token excerpt (tokens 3-10) of every
+    doc_id % 97 == 0 document — derived input, so the oracle rebuilds the
+    same excerpts in SQL — and ngram_contamination must flag exactly the
+    documents containing any excerpt verbatim (each source doc flags
+    itself; random-token texts make cross-hits possible only where the
+    oracle also finds them)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    bench = (
+        d.where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 10))
+        .select(F.array_join(F.slice(toks, 3, 8), " ").alias("text"))
+    )
+    out = ts.ngram_contamination(d, bench, n=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    ).orderBy("doc_id")
+
+
+_TEXT_DECON_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+bench AS (
+  SELECT DISTINCT array_to_string(t[3:10], ' ') AS g
+  FROM toks WHERE doc_id % 97 = 0 AND len(t) >= 10
+),
+cgrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 8 + 2),
+                               i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks WHERE len(t) >= 8
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(DISTINCT c.g) AS BIGINT) AS n_hits
+FROM cgrams c JOIN bench b ON b.g = c.g
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-token ratio, top-bigram
     fraction) — relational bigram census, not per-row O(n^2)."""
@@ -2734,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample": q_text_sample,
         "text_pack": q_text_pack,
         "text_boilerplate": q_text_boilerplate,
+        "text_decontaminate": q_text_decontaminate,
         # similarity family
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -2812,6 +2856,7 @@ def oracle_sql() -> dict[str, str]:
         "text_sample": _TEXT_SAMPLE_SQL,
         "text_pack": _TEXT_PACK_SQL,
         "text_boilerplate": _TEXT_BOILERPLATE_SQL,
+        "text_decontaminate": _TEXT_DECON_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_ann_lsh": _SIM_ANN_LSH_SQL,
         "sim_ann_mt": _SIM_ANN_MT_SQL,

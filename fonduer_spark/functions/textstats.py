@@ -262,3 +262,56 @@ def strip_boilerplate_lines(
             .cast("long").alias("n_lines_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: token-n-gram overlap between the training
+# corpus and an evaluation/benchmark set — the standard pre-training
+# hygiene check (a doc sharing a long verbatim n-gram with a benchmark
+# item leaks test data into training).
+# ---------------------------------------------------------------------------
+def token_ngrams(text: Column, n: int) -> Column:
+    """Whitespace-token n-grams re-joined with single spaces. Documents
+    shorter than n tokens yield an empty array (the naive sequence(1,
+    size-n+1) would DESCEND to [1, 0] and fabricate grams)."""
+    toks = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(
+        (F.length(F.trim(text)) > 0) & (F.size(toks) >= n), grams
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination report: (id, n_hits) for every corpus
+    document sharing at least one token n-gram with any benchmark item,
+    n_hits = how many DISTINCT benchmark n-grams it contains.
+
+    Scale shape: the benchmark side (small by definition — eval sets are
+    thousands of items, not billions) collapses to a distinct-gram set
+    and BROADCASTS into the join; the corpus side is one explode + one
+    aggregation — no shuffle of corpus text, no driver collect. Drop the
+    flagged ids with a left-anti join downstream."""
+    bgrams = (
+        benchmark.select(
+            F.explode(token_ngrams(F.col(bench_text_col), n)).alias("g"))
+        .distinct()
+    )
+    cgrams = corpus.select(
+        F.col(id_col),
+        F.explode(token_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        cgrams.join(F.broadcast(bgrams), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )

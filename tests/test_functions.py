@@ -464,6 +464,29 @@ def test_strip_boilerplate_lines(spark):
         ts.strip_boilerplate_lines(d, max_df_frac=0.0)
 
 
+def test_ngram_contamination(spark):
+    """Decontamination semantics: a doc is flagged iff it contains a
+    benchmark n-gram VERBATIM — cross-doc leaks count, sub-n overlaps
+    don't, n_hits counts distinct benchmark grams, short docs never
+    fabricate grams (the descending-sequence edge)."""
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over it"),   # contains bench gram
+         (1, "quick brown fox sleeps all day"),      # only a 3-token overlap
+         (2, "unrelated words entirely here now ok"),
+         (3, "xx the quick brown fox jumps yy"),     # leak mid-document
+         (4, "tiny doc")],                           # shorter than n
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",),
+         ("completely absent phrase here now",)], "text string")
+    out = {r.doc_id: r.n_hits for r in
+           ts.ngram_contamination(corpus, bench, n=5).collect()}
+    assert out == {0: 1, 3: 1}
+    # empty-safe
+    assert ts.ngram_contamination(
+        corpus, spark.createDataFrame([], "text string"), n=5).count() == 0
+
+
 def test_pii_scrub(spark):
     """PII redaction semantics: emails mask before digit runs (an email's
     digits never double-match), short digit runs survive, counts align."""
