@@ -375,3 +375,70 @@ class LabelModel:
             return {n: m["accuracy"] for n, m in self.model_.items()}
         return {c: {n: m["accuracy"] for n, m in per.items()}
                 for c, per in self.model_.items()}
+
+
+class DiscriminativeModel:
+    """The reference's discriminative learning call shape (EmmentalModel +
+    LogisticRegression/LSTM tasks, learning/task.py:59-219: the head is
+    sized by candidate ``cardinality`` — ConcatLinear -> len(values)
+    outputs with soft_cross_entropy) over the engine's driver-fit /
+    distributed-score models.
+
+    ``arch="logreg"`` fits on the sparse features frame
+    (featurize() output); ``arch="sequence"`` fits on the marked token
+    sequences (marked_slot_tokens() output). cardinality == 2 keeps the
+    binary sigmoid heads (model_prob); cardinality k > 2 fits the softmax
+    heads (train_logreg_k / train_sequence_model_k) and predict() appends
+    ``logits``/``pred_idx``/``pred_value``. Pass a CandidateSpec as
+    ``cardinality`` to inherit its values, mirroring LabelModel."""
+
+    def __init__(self, spark: SparkSession, cardinality: int = 2,
+                 values: Optional[Sequence] = None,
+                 arch: str = "logreg") -> None:
+        if isinstance(cardinality, CandidateSpec):
+            values = cardinality.values
+            cardinality = cardinality.cardinality
+        if values is not None:
+            if len(values) != cardinality:
+                raise ValueError("Number of values must match cardinality.")
+            values = tuple(str(v) for v in values)
+        if cardinality < 2:
+            raise ValueError("cardinality must be >= 2")
+        if arch not in ("logreg", "sequence"):
+            raise ValueError(f"unknown arch {arch!r}: logreg | sequence")
+        self.spark = spark
+        self.cardinality = cardinality
+        self.values = values
+        self.arch = arch
+        self.weights_ = None
+        self.bias_ = None
+
+    def fit(self, inputs: DataFrame, marginals: DataFrame,
+            **kw) -> "DiscriminativeModel":
+        from . import learning as L
+
+        if self.cardinality == 2 and self.values is None:
+            fn = L.train_logreg if self.arch == "logreg" \
+                else L.train_sequence_model
+            self.weights_, self.bias_ = fn(inputs, marginals, **kw)
+        elif self.arch == "logreg":
+            self.weights_, self.bias_ = L.train_logreg_k(
+                inputs, marginals, self.cardinality, **kw)
+        else:
+            self.weights_, self.bias_ = L.train_sequence_model_k(
+                inputs, marginals, self.cardinality, **kw)
+        return self
+
+    def predict(self, inputs: DataFrame) -> DataFrame:
+        from . import learning as L
+
+        if self.weights_ is None:
+            raise ValueError("fit() before predict()")
+        if self.cardinality == 2 and self.values is None:
+            fn = L.score_with_model if self.arch == "logreg" \
+                else L.score_sequences
+            return fn(inputs, self.weights_, self.bias_)
+        fn = L.score_with_model_k if self.arch == "logreg" \
+            else L.score_sequences_k
+        return fn(inputs, self.weights_, self.bias_,
+                  values=list(self.values) if self.values else None)

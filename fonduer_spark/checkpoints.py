@@ -150,10 +150,17 @@ class SnapshotTable:
             if latest is None:
                 raise FileNotFoundError(f"no committed snapshot in {self.dir}")
             snapshot_id = latest.snapshot_id
-        by_id = {s["snapshot_id"]: s
-                 for s in self._read_manifest()["snapshots"]}
+        snaps = self._read_manifest()["snapshots"]
+        by_id = {s["snapshot_id"]: s for s in snaps}
         if snapshot_id in by_id:
             return spark.read.parquet(by_id[snapshot_id]["path"])
+        if snaps:
+            # the manifest is authoritative: an id it lacks is expired or
+            # never existed — say so, instead of surfacing an opaque parquet
+            # IO error from the deleted snapshot=<id> directory
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not in {self.name} manifest "
+                f"(have {sorted(by_id)}) — expired or unknown")
         # pre-manifest callers (or hand-built dirs): fall back to layout
         return spark.read.parquet(
             os.path.join(self.dir, f"snapshot={snapshot_id}"))

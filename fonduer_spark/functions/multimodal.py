@@ -128,7 +128,10 @@ def _real_resize_image(payload: bytes, width: int, height: int) -> bytes:
         ) from e
     img = Image.open(io.BytesIO(payload)).convert("RGB")
     out = io.BytesIO()
-    img.resize((width, height)).save(out, format="PNG")
+    # explicit BILINEAR — PIL's default is BICUBIC, which would contradict
+    # the documented resample mode
+    img.resize((width, height),
+               resample=Image.Resampling.BILINEAR).save(out, format="PNG")
     return out.getvalue()
 
 

@@ -126,8 +126,11 @@ def pack_token_stream(
         ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
     df = docs.select(F.col(id_col),
                      n_tokens.cast("long").alias("n_tokens"))
+    # Integer division (`div`), not float `/`: ids above 2^53 (sparse hashed
+    # 64-bit ids) round under double division and can misbucket, breaking the
+    # bucket-range ordering the two-phase prefix sum depends on.
     df = df.withColumn(
-        "_bucket", (F.col(id_col) / F.lit(bucket_size)).cast("long"))
+        "_bucket", F.expr(f"`{id_col}` div {int(bucket_size)}"))
 
     totals = (
         df.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))

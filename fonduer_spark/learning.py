@@ -24,14 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def collect_csr(features: DataFrame, key_order: List[str] = None):
-    """features(keys[], values[]) -> (csr-like numpy arrays, key_order).
-
-    Returns (indptr, indices, data, candidate_sids, key_order) — the
-    reference's get_feature_matrices shape (utils_udf.py:125-193) without
-    the scipy dependency.
-    """
-    rows = features.select("candidate_sid", "keys", "values").collect()
+def _csr_from_rows(rows, key_order: List[str] = None):
+    """Collected feature Rows -> (indptr, indices, data, sids, key_order)."""
     if key_order is None:
         key_order = sorted({k for r in rows for k in r.keys})
     key_idx = {k: i for i, k in enumerate(key_order)}
@@ -48,6 +42,22 @@ def collect_csr(features: DataFrame, key_order: List[str] = None):
             sids, key_order)
 
 
+def collect_csr(features: DataFrame, key_order: List[str] = None,
+                max_fit_candidates: int = None):
+    """features(keys[], values[]) -> (csr-like numpy arrays, key_order).
+
+    Returns (indptr, indices, data, candidate_sids, key_order) — the
+    reference's get_feature_matrices shape (utils_udf.py:125-193) without
+    the scipy dependency. With ``max_fit_candidates`` set, rows above the
+    cap are dropped by the same deterministic xxhash64 sample as
+    bounded_fit_rows — the collect is then bounded, not O(N-candidates)."""
+    df = features.select("candidate_sid", "keys", "values")
+    if max_fit_candidates is not None:
+        df = _cap_rows(df, max_fit_candidates)
+    rows = sorted(df.collect(), key=lambda r: r["candidate_sid"])
+    return _csr_from_rows(rows, key_order)
+
+
 def train_logreg(
     features: DataFrame,
     marginals: DataFrame,
@@ -55,6 +65,7 @@ def train_logreg(
     lr: float = None,
     epochs: int = None,
     seed: int = 42,
+    max_fit_candidates: int = 200_000,
 ) -> Tuple[Dict[str, float], float]:
     """Fit logistic regression on (features, soft labels); returns
     (key -> weight, bias). Driver-side gradient descent on the collected
@@ -64,7 +75,14 @@ def train_logreg(
     config (.fonduer-spark.json, see config.get_config) — the reference
     applies its config to the same knobs (learning/task.py model params).
     The per-epoch forward/backward passes are fully vectorized (bincount
-    scatter-adds over the CSR arrays — no per-row Python loop)."""
+    scatter-adds over the CSR arrays — no per-row Python loop).
+
+    Driver-memory bound: the fit collects at most ``max_fit_candidates``
+    rows via the shared bounded_fit_rows contract (deterministic xxhash64
+    sample + marginals joined BEFORE the collect — neither the feature
+    matrix nor the label lookup is an unbounded O(N-candidates) driver
+    materialization). Scoring stays fully distributed
+    (score_with_model broadcasts the weight map)."""
     from .config import get_config
 
     logreg_cfg = get_config()["learning"]["logreg"]
@@ -72,10 +90,11 @@ def train_logreg(
     lr = logreg_cfg["lr"] if lr is None else lr
     epochs = logreg_cfg["epochs"] if epochs is None else epochs
 
-    indptr, indices, data, sids, keys = collect_csr(features)
-    probs = {r.candidate_sid: float(r.prob)
-             for r in marginals.select("candidate_sid", "prob").collect()}
-    y = np.array([probs.get(s, 0.5) for s in sids])
+    rows = bounded_fit_rows(features, marginals, ["keys", "values"],
+                            max_fit_candidates)
+    indptr, indices, data, sids, keys = _csr_from_rows(rows)
+    y = np.array([float(r["_fit_prob"]) if r["_fit_prob"] is not None
+                  else 0.5 for r in rows])
     n, d = len(sids), len(keys)
     w = np.zeros(d)
     b = 0.0
@@ -91,6 +110,119 @@ def train_logreg(
         w -= lr * gw
         b -= lr * float(g.mean())
     return dict(zip(keys, w)), float(b)
+
+
+def train_logreg_k(
+    features: DataFrame,
+    marginals_k: DataFrame,
+    cardinality: int,
+    l2: float = None,
+    lr: float = None,
+    epochs: int = None,
+    fit_intercept: bool = True,
+    max_fit_candidates: int = 200_000,
+) -> Tuple[Dict[str, List[float]], List[float]]:
+    """k-class softmax logistic regression on (features, soft label
+    vectors) — the discriminative head the reference sizes by candidate
+    cardinality (learning/task.py:59-219: ConcatLinear -> len(values)
+    outputs, soft_cross_entropy over k classes). ``marginals_k`` carries a
+    ``probs`` array<double> of length ``cardinality`` per candidate (the
+    majority_vote_marginals_k / score_with_label_model_k output — or a
+    one-hot encoding of hard labels).
+
+    Returns (key -> [w_0..w_{k-1}], [b_0..b_{k-1}]). Gradient descent is
+    fully vectorized over the CSR arrays (bincount scatter-adds per
+    class); candidates with NULL probs fall back to the uniform vector
+    (the k-ary analogue of binary's 0.5). The fit collect is bounded by
+    the shared bounded_fit_rows contract; scoring stays distributed
+    (score_with_model_k).
+
+    Determinism note (the oracle contract): with epochs=1, zero init,
+    l2=0, fit_intercept=False, integer-valued features and one-hot
+    labels, every gradient sum is integer-exact, so the learned weights
+    are w[k][j] = lr * (sum_i x_ij*y_ik - sum_i x_ij / K) / n — pure
+    aggregation arithmetic a SQL engine replays bit-identically
+    (the kg_multiclass_discrim oracle)."""
+    from .config import get_config
+
+    logreg_cfg = get_config()["learning"]["logreg"]
+    l2 = logreg_cfg["l2"] if l2 is None else l2
+    lr = logreg_cfg["lr"] if lr is None else lr
+    epochs = logreg_cfg["epochs"] if epochs is None else epochs
+    if cardinality < 2:
+        raise ValueError("cardinality must be >= 2")
+
+    rows = bounded_fit_rows(features, marginals_k, ["keys", "values"],
+                            max_fit_candidates, prob_col="probs")
+    indptr, indices, data, sids, keys = _csr_from_rows(rows)
+    K = cardinality
+    uniform = [1.0 / K] * K
+    Y = np.array([list(r["_fit_prob"]) if r["_fit_prob"] is not None
+                  else uniform for r in rows], dtype=np.float64
+                 ).reshape(len(rows), K)
+    n, d = len(sids), len(keys)
+    W = np.zeros((d, K))
+    B = np.zeros(K)
+    row_ids = np.repeat(np.arange(n), np.diff(indptr))
+    for _ in range(epochs):
+        # forward: Z[i,k] = B[k] + sum_j x_ij W[j,k], scattered per entry
+        Z = np.zeros((n, K)) + B
+        for k in range(K):
+            Z[:, k] += np.bincount(row_ids, weights=data * W[indices, k],
+                                   minlength=n)
+        Z -= Z.max(axis=1, keepdims=True)  # stable; exact no-op at epoch 0
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        G = P - Y  # soft cross-entropy gradient, (n, K)
+        for k in range(K):
+            gw = np.bincount(indices, weights=G[row_ids, k] * data,
+                             minlength=d)
+            W[:, k] -= lr * (gw / max(n, 1) + l2 * W[:, k])
+        if fit_intercept:
+            B -= lr * G.mean(axis=0)
+    return ({k: [float(w) for w in W[i]] for i, k in enumerate(keys)},
+            [float(b) for b in B])
+
+
+def score_with_model_k(
+    features: DataFrame,
+    weights: Dict[str, List[float]],
+    biases: List[float],
+    values: List[str] = None,
+) -> DataFrame:
+    """Distributed k-class inference: broadcast ONE key -> weight-vector
+    map; per-class logits are a single aggregate over the keys/values
+    arrays with an array accumulator (the summation order is the array
+    order, so a SQL oracle summing in the same feature order reproduces
+    the doubles bit-identically). Appends ``logits`` (array<double>),
+    ``pred_idx`` (0-based argmax, first-max tie-break) and — when
+    ``values`` is given — ``pred_value``. No Python in the scoring path."""
+    K = len(biases)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in weights]),
+        F.array(*[F.array(*[F.lit(float(w)) for w in ws])
+                  for ws in weights.values()]),
+    )
+    zeros = F.array(*[F.lit(0.0) for _ in range(K)])
+    logits = F.aggregate(
+        F.zip_with(
+            "keys", "values",
+            lambda k, v: F.transform(
+                F.coalesce(F.element_at(wmap, k), zeros),
+                lambda w: w * v)),
+        F.array(*[F.lit(float(b)) for b in biases]),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    out = features.withColumn("logits", logits)
+    pred_idx = (F.array_position(F.col("logits"),
+                                 F.array_max(F.col("logits"))) - 1
+                ).cast("int")
+    out = out.withColumn("pred_idx", pred_idx)
+    if values is not None:
+        val_arr = F.array(*[F.lit(str(v)) for v in values])
+        out = out.withColumn(
+            "pred_value", F.element_at(val_arr, F.col("pred_idx") + 1))
+    return out
 
 
 def mark(l: int, h: int, idx: int) -> List[Tuple[int, str]]:
@@ -196,8 +328,21 @@ def encode_marked(marked: DataFrame, word2id: Dict[str, int]) -> DataFrame:
     return out
 
 
+def _cap_rows(fit_df: DataFrame, max_fit_candidates: int) -> DataFrame:
+    """Deterministic xxhash64 cap shared by every fit path: when the row
+    count exceeds the cap, keep a hash-stable subset (~cap rows) so the
+    driver-side collect is bounded regardless of corpus size."""
+    n_total = fit_df.count()
+    if n_total > max_fit_candidates:
+        frac_ppm = int(1_000_000 * max_fit_candidates / n_total)
+        fit_df = fit_df.where(
+            F.pmod(F.xxhash64("candidate_sid"), F.lit(1_000_000)) < frac_ppm)
+    return fit_df
+
+
 def bounded_fit_rows(marked: DataFrame, marginals: DataFrame,
-                     m_cols: List[str], max_fit_candidates: int):
+                     m_cols: List[str], max_fit_candidates: int,
+                     prob_col: str = "prob"):
     """The shared bounded-fit collection contract (used by
     train_sequence_model and torch_lstm.train_lstm_model — ONE sampler so
     the cap and determinism conventions cannot diverge): cap the rows with
@@ -206,18 +351,21 @@ def bounded_fit_rows(marked: DataFrame, marginals: DataFrame,
     label lookup is bounded by the same cap — no second unbounded O(N)
     driver collect), and sort driver-side so the float accumulation — and
     hence any fit — is bit-deterministic regardless of the join shuffle's
-    output order. Returns collected Rows with a ``_fit_prob`` column."""
-    fit_df = marked.select("candidate_sid", *m_cols)
-    n_total = fit_df.count()
-    if n_total > max_fit_candidates:
-        frac_ppm = int(1_000_000 * max_fit_candidates / n_total)
-        fit_df = fit_df.where(
-            F.pmod(F.xxhash64("candidate_sid"), F.lit(1_000_000)) < frac_ppm)
+    output order. Returns collected Rows with a ``_fit_prob`` column.
+    ``prob_col`` names the marginals column ("prob" for binary scores,
+    "probs" for the k-ary probability vector)."""
+    fit_df = _cap_rows(marked.select("candidate_sid", *m_cols),
+                       max_fit_candidates)
+    # Deduplicate marginals before the join: a duplicate candidate_sid would
+    # otherwise duplicate fit rows (inflating that candidate's weight and
+    # overshooting the cap). max() is order-deterministic, unlike
+    # dropDuplicates' arbitrary pick (arrays compare lexicographically, so
+    # the k-ary probs vector orders the same way).
+    slim_marginals = (
+        marginals.groupBy("candidate_sid")
+        .agg(F.max(prob_col).alias("_fit_prob")))
     return sorted(
-        fit_df.join(
-            marginals.select("candidate_sid",
-                             F.col("prob").alias("_fit_prob")),
-            "candidate_sid", "left").collect(),
+        fit_df.join(slim_marginals, "candidate_sid", "left").collect(),
         key=lambda r: r["candidate_sid"])
 
 
@@ -297,6 +445,106 @@ def score_sequences(marked: DataFrame, weights: Dict[str, float],
     z = total / F.greatest(F.size(toks), F.lit(1)) + F.lit(bias)
     return marked.withColumn(
         "model_prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def train_sequence_model_k(
+    marked: DataFrame,
+    marginals_k: DataFrame,
+    cardinality: int,
+    lr: float = 0.5,
+    epochs: int = 200,
+    l2: float = 1e-4,
+    max_fit_candidates: int = 200_000,
+) -> Tuple[Dict[str, List[float]], List[float]]:
+    """k-class head over the FonduerDataset MARKED token sequences — the
+    mean-pooled embedding-bag model of train_sequence_model widened to a
+    softmax over ``cardinality`` outputs, matching how the reference sizes
+    its LSTM head by candidate cardinality (learning/task.py:59-219).
+    ``marginals_k`` carries a ``probs`` vector per candidate (soft k-ary
+    labels); NULL probs fall back to uniform. Returns
+    (token -> [w_0..w_{k-1}], [b_0..b_{k-1}]); scoring is distributed
+    (score_sequences_k). Fit collect bounded by bounded_fit_rows."""
+    K = cardinality
+    m_cols = [c for c in marked.columns if c.endswith("_marked")]
+    rows = bounded_fit_rows(marked, marginals_k, m_cols,
+                            max_fit_candidates, prob_col="probs")
+    vocab: Dict[str, int] = {}
+    seqs: List[List[int]] = []
+    uniform = [1.0 / K] * K
+    ys: List[List[float]] = []
+    for r in rows:
+        toks: List[str] = []
+        for c in m_cols:
+            toks.extend(r[c] or [])
+        seqs.append([vocab.setdefault(t, len(vocab)) for t in toks])
+        p = r["_fit_prob"]
+        ys.append(list(p) if p is not None else uniform)
+    n, d = len(seqs), len(vocab)
+    Y = np.array(ys, dtype=np.float64).reshape(n, K)
+    W = np.zeros((d, K))
+    B = np.zeros(K)
+    flat = np.concatenate([np.array(s, dtype=np.int64) for s in seqs]) \
+        if seqs else np.array([], dtype=np.int64)
+    lens = np.array([max(1, len(s)) for s in seqs], dtype=np.int64)
+    row_ids = np.repeat(np.arange(n), [len(s) for s in seqs])
+    inv_len = 1.0 / lens
+    for _ in range(epochs):
+        Z = np.zeros((n, K)) + B
+        for k in range(K):
+            Z[:, k] += np.bincount(row_ids, weights=W[flat, k],
+                                   minlength=n) * inv_len
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        G = P - Y
+        for k in range(K):
+            gw = np.bincount(flat, weights=(G[:, k] * inv_len)[row_ids],
+                             minlength=d)
+            W[:, k] -= lr * (gw / max(n, 1) + l2 * W[:, k])
+        B -= lr * G.mean(axis=0)
+    inv = {i: t for t, i in vocab.items()}
+    return ({inv[i]: [float(w) for w in W[i]] for i in range(d)},
+            [float(b) for b in B])
+
+
+def score_sequences_k(marked: DataFrame, weights: Dict[str, List[float]],
+                      biases: List[float],
+                      values: List[str] = None) -> DataFrame:
+    """Distributed k-class inference for the sequence model: broadcast a
+    token -> weight-vector map; logits = bias + mean over tokens of the
+    per-token weight vectors (array-accumulator aggregate, no Python in
+    the scoring path). Appends ``logits``, ``pred_idx``, and
+    ``pred_value`` when ``values`` is given."""
+    K = len(biases)
+    m_cols = [c for c in marked.columns if c.endswith("_marked")]
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in weights]),
+        F.array(*[F.array(*[F.lit(float(w)) for w in ws])
+                  for ws in weights.values()]),
+    )
+    zeros = F.array(*[F.lit(0.0) for _ in range(K)])
+    toks = F.concat(*[F.col(c) for c in m_cols]) if len(m_cols) > 1 \
+        else F.col(m_cols[0])
+    totals = F.aggregate(
+        toks, zeros,
+        lambda acc, t: F.zip_with(
+            acc, F.coalesce(F.element_at(wmap, t), zeros),
+            lambda a, b: a + b),
+    )
+    inv_n = F.lit(1.0) / F.greatest(F.size(toks), F.lit(1))
+    logits = F.zip_with(
+        totals, F.array(*[F.lit(float(b)) for b in biases]),
+        lambda t, b: t * inv_n + b)
+    out = marked.withColumn("logits", logits)
+    pred_idx = (F.array_position(F.col("logits"),
+                                 F.array_max(F.col("logits"))) - 1
+                ).cast("int")
+    out = out.withColumn("pred_idx", pred_idx)
+    if values is not None:
+        val_arr = F.array(*[F.lit(str(v)) for v in values])
+        out = out.withColumn(
+            "pred_value", F.element_at(val_arr, F.col("pred_idx") + 1))
+    return out
 
 
 def score_with_model(
