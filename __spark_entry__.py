@@ -641,6 +641,53 @@ def q_kg_multiclass_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_multiclass_discrim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-class DISCRIMINATIVE layer end to end (VERDICT r5 task #1):
+    majority-vote k-ary labels -> one-hot soft-label vectors ->
+    train_logreg_k (softmax head sized by cardinality, reference
+    learning/task.py:59-219) -> distributed k-class scoring
+    (score_with_model_k) -> argmax pred_value.
+
+    Oracle determinism: epochs=1 / zero init / l2=0 / no intercept over
+    INTEGER features (band one-hot + |v|%3 indicator, scaled x3 so x/3 is
+    exact) and one-hot labels makes every gradient sum integer-exact —
+    w[j][k] = lr*((sum x_j y_k - sum x_j / 3)/n) is replayed verbatim by
+    the DuckDB oracle; only the discrete argmax is hash-compared (the r4
+    float-determinism rule). A learns-3-class multi-epoch test covers the
+    iterative path (tests/test_learning_k.py)."""
+    from fonduer_spark.labeling import apply_lfs, majority_vote_marginals_k
+    from fonduer_spark.learning import score_with_model_k, train_logreg_k
+
+    cands = kg_stages(spark, sf_dir)["candidates"].select(
+        "candidate_sid", "candidate_type", "url",
+        "a_span_text", "b_span_text")
+    labels = apply_lfs(cands, _multiclass_lfs(), values=MULTICLASS_VALUES)
+    mv = majority_vote_marginals_k(labels, 3, values=MULTICLASS_VALUES)
+    onehot = mv.select(
+        "candidate_sid",
+        F.array(*[(F.col("pred_idx") == i).cast("double")
+                  for i in range(3)]).alias("probs"))
+    v = F.col("b_span_text").try_cast("int")
+    feats = cands.select(
+        "candidate_sid", "url", F.col("a_span_text").alias("subj"),
+        v.alias("obj"),
+        F.array(F.lit("f_cold"), F.lit("f_warm"), F.lit("f_hot"),
+                F.lit("f_m3")).alias("keys"),
+        F.array(
+            (v < 0).cast("double") * 3,
+            ((v >= 0) & (v < 115)).cast("double") * 3,
+            (v >= 115).cast("double") * 3,
+            (F.pmod(F.abs(v), 3) == 0).cast("double") * 3,
+        ).alias("values"))
+    W, B = train_logreg_k(feats, onehot, 3, lr=0.5, epochs=1, l2=0.0,
+                          fit_intercept=False)
+    scored = score_with_model_k(feats, W, B, values=list(MULTICLASS_VALUES))
+    return (
+        scored.select("url", "subj", "obj", "pred_value")
+        .orderBy("url", "subj", "obj")
+    )
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental keyed upsert promoted to the contract (reference
     clear=False update mode, tests/e2e/test_incremental.py:82-112):
@@ -1116,6 +1163,85 @@ pick AS (
 SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
        subj, v AS obj, pred_value
 FROM pick ORDER BY url, subj, obj
+"""
+
+# kg_multiclass_discrim: full k-class DISCRIMINATIVE replay — majority-vote
+# hard labels (the counted/argmax CTE of kg_multiclass) -> one-hot y ->
+# one softmax gradient step from zero init (train_logreg_k epochs=1, lr=0.5,
+# l2=0, no intercept) over four integer features (band one-hot x3 scale +
+# the |v|%3 indicator). At zero init softmax is exactly 1/3, so every
+# gradient sum is integer-exact: w[j][k] = lr * ((sum(x_j*y_k) -
+# sum(x_j)/3) / n) is pure aggregation arithmetic both engines compute
+# bit-identically; logits are per-candidate dot products in the same
+# feature order, and only the DISCRETE argmax is hash-compared (margins
+# are O(lr * x / K) >> float noise — the r4 determinism rule).
+_KG_MULTICLASS_DISCRIM_SQL = _KG_MULTICLASS_CTE + """
+, counted AS (
+  SELECT i, subj, v, b,
+    CASE WHEN abs(v) % 3 = 0 THEN 1 ELSE 0 END AS xm,
+    (CASE WHEN b = 0 THEN 1 ELSE 0 END) + (CASE WHEN m3 = 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN m5 = 0 THEN 1 ELSE 0 END) AS c0,
+    (CASE WHEN b = 1 THEN 1 ELSE 0 END) + (CASE WHEN m3 = 1 THEN 1 ELSE 0 END)
+      + (CASE WHEN m5 = 1 THEN 1 ELSE 0 END) AS c1,
+    (CASE WHEN b = 2 THEN 1 ELSE 0 END) + (CASE WHEN m3 = 2 THEN 1 ELSE 0 END)
+      + (CASE WHEN m5 = 2 THEN 1 ELSE 0 END) AS c2
+  FROM lf
+),
+x AS (
+  SELECT i, subj, v,
+    CASE WHEN c0 >= c1 AND c0 >= c2 THEN 0
+         WHEN c1 >= c2 THEN 1 ELSE 2 END AS y,
+    CASE WHEN b = 0 THEN 3 ELSE 0 END AS x1,
+    CASE WHEN b = 1 THEN 3 ELSE 0 END AS x2,
+    CASE WHEN b = 2 THEN 3 ELSE 0 END AS x3,
+    xm * 3 AS x4
+  FROM counted
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3, SUM(x4) AS s4,
+    SUM(CASE WHEN y = 0 THEN x1 ELSE 0 END) AS s1_0,
+    SUM(CASE WHEN y = 1 THEN x1 ELSE 0 END) AS s1_1,
+    SUM(CASE WHEN y = 2 THEN x1 ELSE 0 END) AS s1_2,
+    SUM(CASE WHEN y = 0 THEN x2 ELSE 0 END) AS s2_0,
+    SUM(CASE WHEN y = 1 THEN x2 ELSE 0 END) AS s2_1,
+    SUM(CASE WHEN y = 2 THEN x2 ELSE 0 END) AS s2_2,
+    SUM(CASE WHEN y = 0 THEN x3 ELSE 0 END) AS s3_0,
+    SUM(CASE WHEN y = 1 THEN x3 ELSE 0 END) AS s3_1,
+    SUM(CASE WHEN y = 2 THEN x3 ELSE 0 END) AS s3_2,
+    SUM(CASE WHEN y = 0 THEN x4 ELSE 0 END) AS s4_0,
+    SUM(CASE WHEN y = 1 THEN x4 ELSE 0 END) AS s4_1,
+    SUM(CASE WHEN y = 2 THEN x4 ELSE 0 END) AS s4_2
+  FROM x
+),
+w AS (
+  SELECT
+    0.5 * ((s1_0 - s1/3.0) / n) AS w10,
+    0.5 * ((s1_1 - s1/3.0) / n) AS w11,
+    0.5 * ((s1_2 - s1/3.0) / n) AS w12,
+    0.5 * ((s2_0 - s2/3.0) / n) AS w20,
+    0.5 * ((s2_1 - s2/3.0) / n) AS w21,
+    0.5 * ((s2_2 - s2/3.0) / n) AS w22,
+    0.5 * ((s3_0 - s3/3.0) / n) AS w30,
+    0.5 * ((s3_1 - s3/3.0) / n) AS w31,
+    0.5 * ((s3_2 - s3/3.0) / n) AS w32,
+    0.5 * ((s4_0 - s4/3.0) / n) AS w40,
+    0.5 * ((s4_1 - s4/3.0) / n) AS w41,
+    0.5 * ((s4_2 - s4/3.0) / n) AS w42
+  FROM agg
+),
+z AS (
+  SELECT i, subj, v,
+    x1*w10 + x2*w20 + x3*w30 + x4*w40 AS z0,
+    x1*w11 + x2*w21 + x3*w31 + x4*w41 AS z1,
+    x1*w12 + x2*w22 + x3*w32 + x4*w42 AS z2
+  FROM x CROSS JOIN w
+)
+SELECT 'https://fixture.test/d' || lpad(CAST(i AS VARCHAR), 6, '0') AS url,
+       subj, v AS obj,
+       CASE WHEN z0 >= z1 AND z0 >= z2 THEN 'cold'
+            WHEN z1 >= z2 THEN 'warm' ELSE 'hot' END AS pred_value
+FROM z ORDER BY url, subj, obj
 """
 
 # kg_features oracle: per-(url, slot_family) feature-key counts rebuilt from
@@ -2742,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_multiclass": q_kg_multiclass,
         "kg_multiclass_model": q_kg_multiclass_model,
         "kg_multiclass_weighted": q_kg_multiclass_weighted,
+        "kg_multiclass_discrim": q_kg_multiclass_discrim,
         "kg_incremental": q_kg_incremental,
         "kg_features_lingual": q_kg_features_lingual,
         "kg_stream_mentions": q_kg_stream_mentions,
@@ -2825,6 +2952,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_multiclass": _KG_MULTICLASS_SQL,
         "kg_multiclass_model": _KG_MULTICLASS_MODEL_SQL,
         "kg_multiclass_weighted": _KG_MULTICLASS_WEIGHTED_SQL,
+        "kg_multiclass_discrim": _KG_MULTICLASS_DISCRIM_SQL,
         "kg_incremental": _KG_PART_MENTIONS_SQL,
         "kg_features_lingual": _KG_FEATURES_LINGUAL_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
