@@ -763,6 +763,30 @@ def q_kg_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pipeline STREAMED end to end (VERDICT r5 task #6): the
+    corpus written as a multi-file drop, streamed 2 files per trigger, each
+    micro-batch running the same fused candidates -> majority-vote labels
+    -> partial triple aggregation, incrementally MERGEd into the snapshot
+    graph table by (subj, pred, obj) via foreachBatch. The final committed
+    table must equal the batch kg_triples row-for-row — same gold oracle
+    (micro-batch slicing must be invisible: max/sum combine across
+    batches, candidate extraction is doc-local)."""
+    import os
+    import tempfile
+
+    from fonduer_spark.streaming import stream_triples_incremental
+
+    tmp = tempfile.mkdtemp(prefix="kgstreamtriples_")
+    in_dir = os.path.join(tmp, "docs")
+    _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).repartition(8).write.parquet(in_dir)
+    out = stream_triples_incremental(
+        spark, in_dir, os.path.join(tmp, "work"), pred=PRED)
+    return out.select("subj", "pred", "obj").orderBy("subj", "obj")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch STREAMING exact-dedup, oracle-checked: documents (plus a
     deterministic duplicate of doc_id < 100 re-keyed +1000000) written as a
@@ -2025,6 +2049,84 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (Lee et al. family, VERDICT r5
+    task #4) oracle-checked end to end: a fixed 10-token banner is appended
+    to every doc_id % 5 == 0 document (derived input), so those documents
+    share banner-spanning 8-grams; dedup_substrings must strip the covered
+    tokens from every sharer EXCEPT the keeper (min doc_id), while any
+    NATURAL cross-doc 8-gram repeats in the small-vocabulary corpus are
+    handled identically — the DuckDB oracle replays the FULL algorithm
+    (gram hashing, keeper election, coverage union, positional rebuild),
+    not just the banner arithmetic. Hash-compared on md5(text_dedup) plus
+    the integer token counts; no floats anywhere."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    banner = ("shared banner token alpha beta gamma delta epsilon zeta "
+              "omega")
+    aug = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" " + banner)))
+        .otherwise(F.col("text")))
+    out = dd.dedup_substrings(aug, k=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text_dedup").alias("dedup_md5"),
+        "n_tokens", "n_tokens_removed",
+    ).orderBy("doc_id")
+
+
+_TEXT_SUBSTRING_DEDUP_SQL = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CASE WHEN doc_id % 5 = 0 THEN text ||
+           ' shared banner token alpha beta gamma delta epsilon zeta omega'
+         ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT id, text, string_split_regex(trim(text), '\\s+') AS t FROM base
+),
+occ AS (
+  SELECT id, s.s AS s, md5(array_to_string(t[s.s : s.s + 7], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS s) s
+  WHERE len(trim(text)) > 0 AND len(t) >= 8
+),
+shared AS (
+  SELECT h, min(id) AS keeper
+  FROM occ GROUP BY h HAVING count(DISTINCT id) >= 2
+),
+cov AS (
+  SELECT DISTINCT o.id, o.s + x.x AS p
+  FROM occ o JOIN shared sh USING (h),
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS x) x
+  WHERE o.id <> sh.keeper
+),
+tokpos AS (
+  SELECT id, p.p AS p, t[p.p] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) p
+  WHERE len(trim(text)) > 0
+),
+kept AS (
+  SELECT tp.id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS text_dedup,
+         count(*) AS n_kept
+  FROM tokpos tp LEFT JOIN cov ON tp.id = cov.id AND tp.p = cov.p
+  WHERE cov.p IS NULL
+  GROUP BY tp.id
+),
+nt AS (
+  SELECT id, CASE WHEN len(trim(text)) > 0 THEN len(t) ELSE 0 END AS n_toks
+  FROM toks
+)
+SELECT nt.id AS doc_id,
+       md5(coalesce(k.text_dedup, '')) AS dedup_md5,
+       CAST(nt.n_toks AS BIGINT) AS n_tokens,
+       CAST(nt.n_toks - coalesce(k.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM nt LEFT JOIN kept k USING (id)
+ORDER BY doc_id
+"""
+
+
 def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate removal oracle-checked end to end: a
     deterministic cookie-banner line is injected into every even doc
@@ -2872,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": q_kg_incremental,
         "kg_features_lingual": q_kg_features_lingual,
         "kg_stream_mentions": q_kg_stream_mentions,
+        "kg_stream_triples": q_kg_stream_triples,
         "stream_dedup": q_stream_dedup,
         "stream_events_window": q_stream_events_window,
         "kg_nary": q_kg_nary,
@@ -2903,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_sample": q_text_sample,
         "text_pack": q_text_pack,
+        "text_substring_dedup": q_text_substring_dedup,
         "text_boilerplate": q_text_boilerplate,
         "text_decontaminate": q_text_decontaminate,
         # similarity family
@@ -2956,6 +3060,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": _KG_PART_MENTIONS_SQL,
         "kg_features_lingual": _KG_FEATURES_LINGUAL_SQL,
         "kg_stream_mentions": _KG_PART_MENTIONS_SQL,
+        "kg_stream_triples": gold_triples_sql(),
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_events_window": _REL_EVENTS_SQL,
         "kg_nary": _KG_NARY_SQL,
@@ -2983,6 +3088,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii": _TEXT_PII_SQL,
         "text_sample": _TEXT_SAMPLE_SQL,
         "text_pack": _TEXT_PACK_SQL,
+        "text_substring_dedup": _TEXT_SUBSTRING_DEDUP_SQL,
         "text_boilerplate": _TEXT_BOILERPLATE_SQL,
         "text_decontaminate": _TEXT_DECON_SQL,
         "sim_topk": _SIM_TOPK_SQL,

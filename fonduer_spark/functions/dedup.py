@@ -420,3 +420,84 @@ def embedding_near_dup_pairs_lsh(
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document exact-substring deduplication (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" family,
+    token-window approximation): any ``k``-token window that appears in
+    MORE than one document is removed from every document except the
+    gram's keeper (the minimum doc id containing it), which retains the
+    canonical copy. Token positions covered by ANY removable shared gram
+    are dropped; the surviving tokens are re-joined with single spaces in
+    original order (whitespace is normalized, the same convention as the
+    Jaccard shingles).
+
+    Output: (id, text_dedup, n_tokens, n_tokens_removed).
+
+    Scale shape (100 TB grade): one explode of per-doc gram hashes ->
+    ONE groupBy on the md5 gram key (uniform, no skew) computing
+    (distinct-doc count, keeper) -> the shared-gram set joins back on the
+    hash (shuffle join on a uniform key; never an all-pairs product) ->
+    per-doc covered-start sets aggregate in a second groupBy -> the
+    rebuild is doc-local column arithmetic (F.filter with the positional
+    lambda over a materialized covered-positions column — materialized
+    once per row, NOT re-derived per token, the Catalyst no-CSE rule).
+    Everything is bounded by O(total tokens); no driver collect.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    valid = (F.length(F.trim(text)) > 0) & (F.size(toks) >= k)
+    grams = F.when(valid, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - k + 1),
+        lambda s: F.md5(F.array_join(F.slice(toks, s, k), " ")),
+    )).otherwise(F.array().cast("array<string>"))
+    occ = (
+        docs.select(F.col(id_col).alias("_id"),
+                    F.posexplode(grams).alias("_p0", "_h"))
+        .select("_id", (F.col("_p0") + 1).alias("_s"), "_h")
+    )
+    shared = (
+        occ.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"), F.min("_id").alias("_keep"))
+        .where(F.col("_nd") >= 2)
+        .select("_h", "_keep")
+    )
+    removable = (
+        occ.join(shared, "_h")
+        .where(F.col("_id") != F.col("_keep"))
+        .groupBy("_id")
+        .agg(F.collect_set("_s").alias("_starts"))
+    )
+    base = docs.withColumn("_toks", toks).withColumn("_valid", valid)
+    joined = base.join(
+        removable.withColumnRenamed("_id", id_col), id_col, "left")
+    covered = F.array_distinct(F.flatten(F.transform(
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+        lambda s: F.sequence(s, s + k - 1))))
+    with_cov = joined.withColumn("_covered", covered)
+    # positional filter: the TWO-arg lambda binds (element, 0-based index)
+    # deliberately (the one-arg rule applies to F.transform's accidental
+    # second arg; here the index is the point)
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.array_contains(F.col("_covered"), (i + 1).cast("int")))
+    n_tokens = F.when(F.length(F.trim(text)) > 0,
+                      F.size(F.col("_toks"))).otherwise(F.lit(0))
+    out = with_cov.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(text)) > 0, F.array_join(kept, " "))
+         .otherwise(F.lit("")).alias("text_dedup"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.when(F.length(F.trim(text)) > 0,
+               F.size(F.col("_covered"))).otherwise(F.lit(0))
+         .cast("long").alias("n_tokens_removed"),
+    )
+    return out

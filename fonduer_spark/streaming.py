@@ -212,3 +212,98 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value")
     )
+
+
+def stream_triples_incremental(
+    spark: SparkSession,
+    docs_dir: str,
+    work_dir: str,
+    pred: str,
+    prob_threshold: float = 0.5,
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """The FULL pipeline streamed end to end (docs -> candidates -> labels
+    -> triples) with an incremental foreachBatch MERGE — the streaming
+    analogue of the batch kg pipeline whose final table must equal the
+    batch run row-for-row (VERDICT r5 task #6).
+
+    Per micro-batch: the same fused parse+mention+candidate stage as batch
+    (candidate relations are document-local, and a document's row lives in
+    exactly one input file, so per-batch extraction is exact), majority-vote
+    labeling, then a PARTIAL triple aggregation within the batch. The
+    partial merges into the committed graph table by (subj, pred, obj):
+    matched keys combine (prob = max, n_provenance = sum, provenance
+    capped-union) via a read-modify-write on ONLY the touched keys, then
+    SnapshotTable.merge carries unmatched committed rows over as a parquet
+    scan — the foreachBatch incremental-MERGE pattern over the engine's
+    Iceberg-style snapshot tables (checkpoints.py). Returns the final
+    committed triples table.
+
+    Scale notes: each micro-batch shuffles only its own partial aggregate
+    (uniform triple keys); the committed side joins broadcast when the
+    touched-key set is small (the common incremental case). max(prob) over
+    batches == global max and sums are associative, so micro-batch slicing
+    cannot change the final table.
+    """
+    from .candidates_fused import extract_candidates_auto, same_row_py
+    from .candidates_op import same_row
+    from .checkpoints import SnapshotTable
+    from .labeling import with_marginals
+    from .parse import ParseConfig
+    from .pipeline import default_lfs, default_mention_specs
+    from .triples import materialize_triples
+
+    table = SnapshotTable(work_dir, "triples")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, _bid: int) -> None:
+        cands = extract_candidates_auto(
+            batch_df, default_mention_specs(), "part_temp", "part", "temp",
+            py_throttler=same_row_py, column_throttler=same_row, slim=True,
+            parse_cfg=ParseConfig(structural=False),
+        )
+        scored = with_marginals(cands, default_lfs())
+        partial = materialize_triples(scored, pred=pred,
+                                      prob_threshold=prob_threshold)
+        latest = table.latest()
+        if latest is None:
+            table.commit(partial)
+            return
+        committed = table.read(spark, latest.snapshot_id)
+        old = committed.select(
+            "subj", "pred", "obj",
+            F.col("prob").alias("_old_prob"),
+            F.col("n_provenance").alias("_old_n"),
+            F.col("provenance").alias("_old_prov"),
+        )
+        combined = (
+            partial.join(old, ["subj", "pred", "obj"], "left")
+            .select(
+                "subj", "pred", "obj",
+                F.greatest(F.col("prob"),
+                           F.coalesce("_old_prob", F.lit(0.0))).alias("prob"),
+                (F.col("n_provenance")
+                 + F.coalesce("_old_n", F.lit(0))).alias("n_provenance"),
+                F.slice(
+                    F.concat(
+                        F.coalesce("_old_prov",
+                                   F.array().cast("array<string>")),
+                        F.col("provenance")),
+                    1, 16).alias("provenance"),
+            )
+        )
+        table.merge(combined, ["subj", "pred", "obj"])
+
+    q = (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", f"{work_dir}/_stream_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(spark)

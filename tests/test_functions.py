@@ -505,3 +505,51 @@ def test_pii_scrub(spark):
     assert (r[1].c.n_emails, r[1].c.n_digit_runs) == (1, 1)
     assert r[2].s == "no pii here" and r[2].c.n_emails == 0
     assert r[3].s == "two mails <EMAIL> <EMAIL> and <DIGITS>"
+
+
+def test_dedup_substrings(spark):
+    """Keeper retains the shared window; every other sharer loses exactly
+    the covered tokens; short and unique docs pass through (with
+    whitespace normalized); counts reconcile."""
+    shared8 = "a b c d e f g h"  # an 8-token window shared by docs 1,2,3
+    rows = [
+        (1, f"intro one {shared8} tail one"),
+        (2, f"second document starts {shared8} then ends"),
+        (3, f"{shared8} leading copy here"),
+        (4, "totally unique text with no repeats at all whatsoever"),
+        (5, "short doc"),
+        (6, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in dd.dedup_substrings(df, k=8).collect()}
+    # doc 1 is the keeper (min id) — untouched
+    assert out[1].text_dedup == rows[0][1]
+    assert out[1].n_tokens_removed == 0
+    # docs 2 and 3 lose exactly the 8 covered tokens
+    assert out[2].text_dedup == "second document starts then ends"
+    assert out[2].n_tokens_removed == 8
+    assert out[3].text_dedup == "leading copy here"
+    assert out[3].n_tokens_removed == 8
+    # unique + short docs untouched; empty doc normalizes to ''
+    assert out[4].text_dedup == rows[3][1]
+    assert out[5].text_dedup == "short doc" and out[5].n_tokens == 2
+    assert out[6].text_dedup == "" and out[6].n_tokens == 0
+    for r in out.values():
+        assert r.n_tokens - r.n_tokens_removed == (
+            len(r.text_dedup.split()) if r.text_dedup else 0)
+
+
+def test_dedup_substrings_overlapping_windows_union(spark):
+    """A 9-token shared run produces two overlapping shared 8-grams in the
+    non-keeper; coverage is their UNION (9 tokens), not 16."""
+    run9 = "p q r s t u v w x"
+    df = spark.createDataFrame(
+        [(10, f"{run9} filler alpha beta"),
+         (20, f"other words here {run9} more stuff")],
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in dd.dedup_substrings(df, k=8).collect()}
+    assert out[10].n_tokens_removed == 0  # keeper
+    assert out[20].n_tokens_removed == 9
+    assert out[20].text_dedup == "other words here more stuff"
+    with pytest.raises(ValueError, match="k must be"):
+        dd.dedup_substrings(df, k=1)
