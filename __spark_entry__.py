@@ -2388,6 +2388,28 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMEANS-quantizer IVF path oracle-checked (VERDICT r5 task #5):
+    seeded pyspark.ml KMeans centroids drive the same assign -> cell join
+    -> verify -> top-k plumbing, probed EXHAUSTIVELY (nprobe ==
+    n_centroids) so the result must equal the exact top-k regardless of
+    where the learned centroids land — the float content of the ml fit
+    never reaches the hash-compared output, while the entire kmeans
+    plumbing (training, broadcast assignment, probing, ranking) is
+    exercised end to end. The recall/efficiency operating points of
+    partial probing are bench-reported (sim_ivf_kmeans_offcentroid_
+    recall_at5), where approximation belongs."""
+    return sim.ivf_bucketed_ann(
+        _emb(spark, sf_dir), _QUERY_IDS, dim=64, k=5,
+        n_centroids=16, nprobe=16, quantizer="kmeans",
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN with the md5-Rademacher plane family — the bucket
     assignment, the own-bucket probe, the cosine scores and the top-k ranks
@@ -3014,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_mt": q_sim_ann_mt,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_ann_ivf_kmeans": q_sim_ann_ivf_kmeans,
         # multimodal family
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
@@ -3095,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_lsh": _SIM_ANN_LSH_SQL,
         "sim_ann_mt": _SIM_ANN_MT_SQL,
         "sim_ann_ivf": _SIM_ANN_IVF_SQL,
+        "sim_ann_ivf_kmeans": _SIM_TOPK_SQL,
         "mm_meta": _MM_META_SQL,
         "mm_features": _MM_FEATURES_SQL,
         "mm_frames": _MM_FRAMES_SQL,
