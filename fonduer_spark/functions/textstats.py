@@ -315,3 +315,68 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.countDistinct("g").alias("n_hits"))
     )
+
+
+def gopher_repetition(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher repetition filters over LINES and PARAGRAPHS (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", Table A1) — the standard
+    web-corpus quality gate alongside the token/n-gram signals in
+    repetition_stats.
+
+    Definitions (replayed exactly by the DuckDB oracle):
+
+    - lines split on ``\\n``, paragraphs on ``\\n\\n`` (greedy
+      left-to-right, identical in both engines); units whose ``trim()`` is
+      empty are ignored, the RAW unit string is the duplicate key;
+    - ``frac_dup_<u>`` = sum(cnt-1) / sum(cnt) over distinct units — the
+      share of occurrences beyond each unit's first;
+    - ``frac_dup_<u>_chars`` = sum((cnt-1)*len) / sum(cnt*len) — the share
+      of characters those surplus occurrences contribute.
+
+    Exact integer sums -> ONE double division -> round(6) is bit-identical
+    in Spark and DuckDB. Relational shape: explode -> (doc, unit) census ->
+    per-doc partial-aggregated rollup, twice — constant memory per row at
+    any document length, no per-row O(n^2) array scans. Docs with no
+    non-empty units report 0 counts / 0.0 fractions.
+    """
+    def _unit_stats(sep: str, p: str) -> DataFrame:
+        g = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.split(F.col(text_col), sep)).alias("u"),
+            )
+            .where(F.length(F.trim("u")) > 0)
+            .groupBy("doc_id", "u")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return (
+            g.groupBy("doc_id")
+            .agg(
+                F.sum("cnt").alias("n"),
+                F.sum(F.col("cnt") - 1).alias("dup"),
+                F.sum((F.col("cnt") - 1) * F.length("u")).alias("dupc"),
+                F.sum(F.col("cnt") * F.length("u")).alias("totc"),
+            )
+            .select(
+                "doc_id",
+                F.col("n").cast("long").alias(f"n_{p}"),
+                F.round(F.col("dup") / F.col("n"), 6).alias(f"frac_dup_{p}"),
+                F.round(F.col("dupc") / F.col("totc"), 6)
+                .alias(f"frac_dup_{p}_chars"),
+            )
+        )
+
+    lines = _unit_stats("\n", "lines")
+    paras = _unit_stats("\n\n", "paras")
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = base.join(lines, "doc_id", "left").join(paras, "doc_id", "left")
+    fills = []
+    for p in ("lines", "paras"):
+        fills += [
+            F.coalesce(f"n_{p}", F.lit(0).cast("long")).alias(f"n_{p}"),
+            F.coalesce(f"frac_dup_{p}", F.lit(0.0)).alias(f"frac_dup_{p}"),
+            F.coalesce(f"frac_dup_{p}_chars", F.lit(0.0))
+            .alias(f"frac_dup_{p}_chars"),
+        ]
+    return out.select("doc_id", *fills)

@@ -66,6 +66,7 @@ def train_logreg(
     epochs: int = None,
     seed: int = 42,
     max_fit_candidates: int = 200_000,
+    logger=None,
 ) -> Tuple[Dict[str, float], float]:
     """Fit logistic regression on (features, soft labels); returns
     (key -> weight, bias). Driver-side gradient descent on the collected
@@ -100,11 +101,17 @@ def train_logreg(
     b = 0.0
     # CSR entry -> row id (handles empty rows, unlike reduceat)
     row_ids = np.repeat(np.arange(n), np.diff(indptr))
-    for _ in range(epochs):
+    for epoch in range(epochs):
         # forward: per-entry products scattered into row sums
         z = b + np.bincount(row_ids, weights=data * w[indices], minlength=n)
         p = 1.0 / (1.0 + np.exp(-z))
         g = p - y  # soft-label cross-entropy gradient
+        if logger is not None:  # reference TensorBoardLogger hook
+            pc = np.clip(p, 1e-12, 1 - 1e-12)
+            logger.add_scalar(
+                "train/loss",
+                float(-(y * np.log(pc)
+                        + (1 - y) * np.log(1 - pc)).mean()), epoch)
         gw = np.bincount(indices, weights=g[row_ids] * data, minlength=d)
         gw = gw / n + l2 * w
         w -= lr * gw
@@ -121,6 +128,7 @@ def train_logreg_k(
     epochs: int = None,
     fit_intercept: bool = True,
     max_fit_candidates: int = 200_000,
+    logger=None,
 ) -> Tuple[Dict[str, List[float]], List[float]]:
     """k-class softmax logistic regression on (features, soft label
     vectors) — the discriminative head the reference sizes by candidate
@@ -164,7 +172,7 @@ def train_logreg_k(
     W = np.zeros((d, K))
     B = np.zeros(K)
     row_ids = np.repeat(np.arange(n), np.diff(indptr))
-    for _ in range(epochs):
+    for epoch in range(epochs):
         # forward: Z[i,k] = B[k] + sum_j x_ij W[j,k], scattered per entry
         Z = np.zeros((n, K)) + B
         for k in range(K):
@@ -174,6 +182,11 @@ def train_logreg_k(
         P = np.exp(Z)
         P /= P.sum(axis=1, keepdims=True)
         G = P - Y  # soft cross-entropy gradient, (n, K)
+        if logger is not None:  # reference TensorBoardLogger hook
+            logger.add_scalar(
+                "train/loss",
+                float(-(Y * np.log(np.clip(P, 1e-12, None))).sum(1).mean()),
+                epoch)
         for k in range(K):
             gw = np.bincount(indices, weights=G[row_ids, k] * data,
                              minlength=d)

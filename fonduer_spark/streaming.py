@@ -214,6 +214,42 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def merge_triple_partial(spark: SparkSession, table, partial: DataFrame):
+    """Combine one batch's PARTIAL triple aggregate into the committed
+    graph table by (subj, pred, obj): matched keys take prob = max,
+    n_provenance = sum, provenance = capped union (read-modify-write on
+    only the TOUCHED keys); SnapshotTable.merge then carries unmatched
+    committed rows over as a parquet scan. max and + are associative and
+    commutative, so ANY micro-batch slicing of the corpus converges to the
+    batch-run table."""
+    latest = table.latest()
+    if latest is None:
+        return table.commit(partial)
+    committed = table.read(spark, latest.snapshot_id)
+    old = committed.select(
+        "subj", "pred", "obj",
+        F.col("prob").alias("_old_prob"),
+        F.col("n_provenance").alias("_old_n"),
+        F.col("provenance").alias("_old_prov"),
+    )
+    combined = (
+        partial.join(old, ["subj", "pred", "obj"], "left")
+        .select(
+            "subj", "pred", "obj",
+            F.greatest(F.col("prob"),
+                       F.coalesce("_old_prob", F.lit(0.0))).alias("prob"),
+            (F.col("n_provenance")
+             + F.coalesce("_old_n", F.lit(0))).alias("n_provenance"),
+            F.slice(
+                F.concat(
+                    F.coalesce("_old_prov", F.array().cast("array<string>")),
+                    F.col("provenance")),
+                1, 16).alias("provenance"),
+        )
+    )
+    return table.merge(combined, ["subj", "pred", "obj"])
+
+
 def stream_triples_incremental(
     spark: SparkSession,
     docs_dir: str,
@@ -269,34 +305,7 @@ def stream_triples_incremental(
         scored = with_marginals(cands, default_lfs())
         partial = materialize_triples(scored, pred=pred,
                                       prob_threshold=prob_threshold)
-        latest = table.latest()
-        if latest is None:
-            table.commit(partial)
-            return
-        committed = table.read(spark, latest.snapshot_id)
-        old = committed.select(
-            "subj", "pred", "obj",
-            F.col("prob").alias("_old_prob"),
-            F.col("n_provenance").alias("_old_n"),
-            F.col("provenance").alias("_old_prov"),
-        )
-        combined = (
-            partial.join(old, ["subj", "pred", "obj"], "left")
-            .select(
-                "subj", "pred", "obj",
-                F.greatest(F.col("prob"),
-                           F.coalesce("_old_prob", F.lit(0.0))).alias("prob"),
-                (F.col("n_provenance")
-                 + F.coalesce("_old_n", F.lit(0))).alias("n_provenance"),
-                F.slice(
-                    F.concat(
-                        F.coalesce("_old_prov",
-                                   F.array().cast("array<string>")),
-                        F.col("provenance")),
-                    1, 16).alias("provenance"),
-            )
-        )
-        table.merge(combined, ["subj", "pred", "obj"])
+        merge_triple_partial(spark, table, partial)
 
     q = (
         stream.writeStream

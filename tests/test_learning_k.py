@@ -197,3 +197,30 @@ def test_bounded_fit_rows_dedupes_duplicate_marginals(spark):
     # deterministic pick: max() of the duplicate probs
     by_sid = {r.candidate_sid: r["_fit_prob"] for r in rows}
     assert by_sid["c1"] == 1.0
+
+
+def test_tensorboard_logger_scalar_stream(spark, tmp_path):
+    """Reference TensorBoardLogger parity (utils/logging/
+    tensorboard_writer.py): add_scalar/close call shape, JSONL backend
+    always on (tensorboardX env-gated), and the trainer hook records a
+    decreasing loss curve."""
+    from fonduer_spark.logging_utils import TensorBoardLogger
+
+    lg = TensorBoardLogger(str(tmp_path / "run1"))
+    lg.add_scalar("x", 1.5, 0)
+    lg.add_scalar("x", 1.0, 1)
+    lg.add_scalar("other", 9.0, 0)
+    lg.close()
+    xs = lg.scalars("x")
+    assert [r["value"] for r in xs] == [1.5, 1.0]
+    assert [r["step"] for r in xs] == [0, 1]
+    assert len(lg.scalars()) == 3
+
+    # trainer hook: per-epoch loss logged and decreasing overall
+    feats = _feat_fixture(spark, 90)
+    lg2 = TensorBoardLogger(str(tmp_path / "run2"))
+    train_logreg_k(feats, feats.select("candidate_sid", "probs"), 3,
+                   lr=1.0, epochs=20, l2=0.0, logger=lg2)
+    lg2.close()
+    losses = [r["value"] for r in lg2.scalars("train/loss")]
+    assert len(losses) == 20 and losses[-1] < losses[0]

@@ -291,3 +291,30 @@ def test_feature_extractor_facade(spark):
     assert any(k.startswith("CUSTOM_LEN_") for k in keys)
     assert any("CONTAINS" in k for k in keys)      # textual ran
     assert not any(k.startswith("e0_ROW_") for k in keys)  # tabular off
+
+
+def test_merge_triple_partial_converges_to_batch(spark, tmp_path):
+    """The foreachBatch combine rule (prob=max, n_provenance=sum,
+    provenance capped union) converges to the batch aggregate under any
+    slicing: two partials merged sequentially == one-shot aggregate."""
+    from fonduer_spark.checkpoints import SnapshotTable
+    from fonduer_spark.streaming import merge_triple_partial
+
+    schema = ("subj string, pred string, obj string, prob double, "
+              "n_provenance long, provenance array<string>")
+    p1 = spark.createDataFrame(
+        [("A", "p", "X", 1.0, 2, ["c1", "c2"]),
+         ("B", "p", "Y", 0.5, 1, ["c3"])], schema)
+    p2 = spark.createDataFrame(
+        [("A", "p", "X", 0.5, 3, ["c4", "c5", "c6"]),   # matched key
+         ("C", "p", "Z", 1.0, 1, ["c7"])], schema)      # new key
+    t = SnapshotTable(str(tmp_path), "triples")
+    merge_triple_partial(spark, t, p1)
+    merge_triple_partial(spark, t, p2)
+    rows = {(r.subj, r.pred, r.obj): r for r in t.read(spark).collect()}
+    assert set(rows) == {("A", "p", "X"), ("B", "p", "Y"), ("C", "p", "Z")}
+    a = rows[("A", "p", "X")]
+    assert a.prob == 1.0 and a.n_provenance == 5
+    assert sorted(a.provenance) == ["c1", "c2", "c4", "c5", "c6"]
+    assert rows[("B", "p", "Y")].n_provenance == 1
+    assert rows[("C", "p", "Z")].prob == 1.0
