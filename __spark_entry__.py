@@ -2971,6 +2971,452 @@ ORDER BY c_custkey
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023) oracle-checked
+    end to end: the fixed 16-cell coarse quantizer (the embeddings of ids
+    0..15 — same deterministic assignment as sim_ann_ivf, replayed in SQL
+    with injected ||c||^2 literals, -2*dot distances and (d, j) tie order),
+    within-cell cosine pairs at threshold 0.4, and the min-id-domination
+    survivor rule via NOT-EXISTS. Pairwise work is O(sum |cell|^2), never
+    all-pairs — n_centroids is the 100-TB knob (grow ~linearly with N)."""
+    return dd.semantic_dedup(
+        _emb(spark, sf_dir), dim=64, threshold=0.4, n_centroids=16,
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        "kept",
+    ).orderBy("vec_id")
+
+
+_DEDUP_SEMANTIC_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS j, v AS c FROM e WHERE vec_id < 16),
+a AS (
+  SELECT e.vec_id, e.v, cents.j,
+         ({_duck_dot('cents.c', 'cents.c')})
+         - 2 * ({_duck_dot('e.v', 'cents.c')}) AS d
+  FROM e CROSS JOIN cents
+),
+r AS (
+  SELECT vec_id, v, j,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+  FROM a
+),
+asg AS (SELECT vec_id, v, j AS cell FROM r WHERE rn = 1),
+dom AS (
+  SELECT DISTINCT y.vec_id AS b
+  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round(({_duck_dot('x.v', 'y.v')}) /
+              (sqrt({_duck_dot('x.v', 'x.v')}) *
+               sqrt({_duck_dot('y.v', 'y.v')})), 6) >= 0.4
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.cell AS INTEGER) AS cell,
+       CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM asg a LEFT JOIN dom d ON a.vec_id = d.b
+ORDER BY vec_id
+"""
+
+
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher line/paragraph repetition rules (Rae et al. 2021, Table A1)
+    oracle-checked end to end. The fixture docs are single-line, so the
+    query derives a multi-line corpus deterministically (the
+    text_boilerplate derived-input pattern): lines A/B/C are token slices
+    [1..5]/[6..10]/[11..15]; every doc_id % 3 == 0 repeats line A, every
+    doc_id % 5 == 0 repeats paragraph B — the oracle rebuilds the same
+    corpus in SQL and replays the full duplicate-line/paragraph census
+    (counts and char-weighted fractions, exact integer sums -> one double
+    division -> round 6)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.split(F.col("text"), " ")
+    la = F.array_join(F.slice(t, 1, 5), " ")
+    lb = F.array_join(F.slice(t, 6, 5), " ")
+    lc = F.array_join(F.slice(t, 11, 5), " ")
+    para1 = F.concat(
+        la, F.lit("\n"), lb, F.lit("\n"),
+        F.when(F.col("doc_id") % 3 == 0, la).otherwise(lc))
+    para3 = F.when(F.col("doc_id") % 5 == 0, lb).otherwise(
+        F.concat(la, F.lit(" "), lc))
+    seeded = d.select(
+        "doc_id",
+        F.concat(para1, F.lit("\n\n"), lb, F.lit("\n\n"), para3)
+        .alias("text"))
+    return (
+        ts.gopher_repetition(seeded)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "n_lines", "frac_dup_lines", "frac_dup_lines_chars",
+                "n_paras", "frac_dup_paras", "frac_dup_paras_chars")
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_GOPHER_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id,
+         coalesce(array_to_string(t[1:5], ' '), '') AS la,
+         coalesce(array_to_string(t[6:10], ' '), '') AS lb,
+         coalesce(array_to_string(t[11:15], ' '), '') AS lc
+  FROM w
+),
+seeded AS (
+  SELECT doc_id,
+         la || chr(10) || lb || chr(10) ||
+         (CASE WHEN doc_id % 3 = 0 THEN la ELSE lc END) ||
+         chr(10) || chr(10) || lb || chr(10) || chr(10) ||
+         (CASE WHEN doc_id % 5 = 0 THEN lb ELSE la || ' ' || lc END) AS text
+  FROM s
+),
+lu AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS u FROM seeded),
+lg AS (SELECT doc_id, u, count(*) AS cnt FROM lu
+       WHERE trim(u) <> '' GROUP BY 1, 2),
+lagg AS (
+  SELECT doc_id, sum(cnt) AS n, sum(cnt - 1) AS dup,
+         sum((cnt - 1) * len(u)) AS dupc, sum(cnt * len(u)) AS totc
+  FROM lg GROUP BY 1
+),
+pu AS (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS u
+       FROM seeded),
+pg AS (SELECT doc_id, u, count(*) AS cnt FROM pu
+       WHERE trim(u) <> '' GROUP BY 1, 2),
+pagg AS (
+  SELECT doc_id, sum(cnt) AS n, sum(cnt - 1) AS dup,
+         sum((cnt - 1) * len(u)) AS dupc, sum(cnt * len(u)) AS totc
+  FROM pg GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(l.n, 0) AS BIGINT) AS n_lines,
+       coalesce(round(l.dup / l.n, 6), 0.0) AS frac_dup_lines,
+       coalesce(round(l.dupc / l.totc, 6), 0.0) AS frac_dup_lines_chars,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_paras,
+       coalesce(round(p.dup / p.n, 6), 0.0) AS frac_dup_paras,
+       coalesce(round(p.dupc / p.totc, 6), 0.0) AS frac_dup_paras_chars
+FROM documents d
+LEFT JOIN lagg l USING (doc_id)
+LEFT JOIN pagg p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-ratio data selection (Xie et al. 2023,
+    arXiv:2302.03169) oracle-checked end to end: hashed unigram buckets
+    (md5 % 256 — the engine-portable feature hash), add-one-smoothed
+    target/raw bucket counts, the linearized importance score as exact
+    integer sums -> double products -> ONE division -> round(6), and the
+    keep decision at threshold 1.0. Target corpus = every 7th doc (the
+    derived-input pattern)."""
+    from fonduer_spark.functions import sampling as sp
+
+    d = _docs(spark, sf_dir)
+    return sp.importance_ratio(
+        d, d.where(F.col("doc_id") % 7 == 0), n_buckets=256, threshold=1.0,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "s_target", "s_raw", "score", "kept",
+    ).orderBy("doc_id")
+
+
+_TEXT_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_duck_hex8('md5(t)', 1)} % 256 AS b
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents)
+  WHERE length(t) > 0
+),
+raw AS (SELECT b, count(*) AS raw_cnt FROM tok GROUP BY b),
+tgt AS (SELECT b, count(*) AS tgt_cnt FROM tok
+        WHERE doc_id % 7 = 0 GROUP BY b),
+tot AS (SELECT (SELECT sum(raw_cnt) FROM raw) + 256 AS r_tot,
+               (SELECT coalesce(sum(tgt_cnt), 0) FROM tgt) + 256 AS t_tot),
+sums AS (
+  SELECT tok.doc_id AS doc_id,
+         sum(coalesce(tgt.tgt_cnt, 0) + 1) AS s_target,
+         sum(raw.raw_cnt + 1) AS s_raw
+  FROM tok JOIN raw ON tok.b = raw.b LEFT JOIN tgt ON tok.b = tgt.b
+  GROUP BY tok.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(s.s_target, 0) AS BIGINT) AS s_target,
+       CAST(coalesce(s.s_raw, 0) AS BIGINT) AS s_raw,
+       coalesce(round((CAST(s.s_target AS DOUBLE) * tot.r_tot)
+                      / (CAST(s.s_raw AS DOUBLE) * tot.t_tot), 6),
+                0.0) AS score,
+       CAST(CASE WHEN coalesce(round((CAST(s.s_target AS DOUBLE) * tot.r_tot)
+                      / (CAST(s.s_raw AS DOUBLE) * tot.t_tot), 6), 0.0)
+                      >= 1.0
+                 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id CROSS JOIN tot
+ORDER BY doc_id
+"""
+
+
+# the synthetic URL fixture: 8-doc groups share a page behind scheme-case /
+# www / default-port / param-order / tracking-param / fragment / trailing-
+# slash variants — every canonicalization rule is load-bearing for the
+# group collapse the oracle checks
+def _derived_urls(d: DataFrame) -> DataFrame:
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https")) \
+        .otherwise(F.lit("HTTPS"))
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Example.COM"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("www.example.com"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("example.com:443"))
+        .otherwise(F.lit("example.com"))
+    )
+    path = F.concat(
+        F.lit("/items/"), F.expr("doc_id div 8").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")))
+    query = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit("?b=2&a=1&utm_source=feed"))
+        .when(F.col("doc_id") % 3 == 2, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("?a=1&b=2&gclid=XYZ"))
+    )
+    frag = F.when(F.col("doc_id") % 5 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, path, query, frag).alias("url"),
+    )
+
+
+def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup with full RFC-3986-style canonicalization
+    (weburl.canon_url: scheme/host case, www, default ports, tracking
+    params, param sort, fragment, trailing slash) oracle-checked end to
+    end — the oracle replays the ENTIRE canonicalization in DuckDB SQL
+    over the same derived URL fixture, so every rule is hash-verified,
+    not just the group collapse."""
+    from fonduer_spark.functions import weburl as wu
+
+    pages = _derived_urls(_docs(spark, sf_dir).select("doc_id"))
+    return wu.dedup_urls(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "canon_url",
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "kept",
+    ).orderBy("doc_id")
+
+
+_DEDUP_URLS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+    (CASE CAST(doc_id % 4 AS INTEGER)
+       WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'www.example.com'
+       WHEN 2 THEN 'example.com:443' ELSE 'example.com' END) ||
+    '/items/' || CAST(doc_id // 8 AS VARCHAR) ||
+    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+    (CASE CAST(doc_id % 3 AS INTEGER)
+       WHEN 1 THEN '?b=2&a=1&utm_source=feed'
+       WHEN 2 THEN '?a=1&b=2' ELSE '?a=1&b=2&gclid=XYZ' END) ||
+    (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM p
+),
+hp AS (
+  SELECT doc_id, scheme, rest,
+    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport
+  FROM parts
+),
+c AS (
+  SELECT doc_id,
+    scheme || '://' ||
+    regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+           ELSE hostport END,
+      '^www\\.', '') ||
+    regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1),
+                   '/+$', '') ||
+    (CASE WHEN len(list_filter(
+            string_split(regexp_extract(rest, '[?]([^#]*)', 1), '&'),
+            x -> len(x) > 0 AND NOT regexp_matches(
+              x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')))
+          > 0
+     THEN '?' || array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(rest, '[?]([^#]*)', 1), '&'),
+            x -> len(x) > 0 AND NOT regexp_matches(
+              x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)='))), '&')
+     ELSE '' END) AS canon
+  FROM hp
+),
+w AS (SELECT canon, min(doc_id) AS canonical_id FROM c GROUP BY canon)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       c.canon AS canon_url,
+       CAST(w.canonical_id AS BIGINT) AS canonical_id,
+       CAST(CASE WHEN c.doc_id = w.canonical_id THEN 1 ELSE 0 END
+            AS INTEGER) AS kept
+FROM c JOIN w USING (canon)
+ORDER BY doc_id
+"""
+
+
+def q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style QUALITY-CLASSIFIER corpus filtering (the CCNet /
+    LLaMA-pipeline step: train a linear classifier on hashed bag-of-words
+    features against a reference corpus, keep docs the model scores
+    target-like) — exercised through the package's real train+score path
+    (learning.train_logreg -> score_margin_with_model/score_with_model)
+    and replayed ARITHMETICALLY by the oracle, the kg_multiclass_discrim
+    float-determinism discipline:
+
+    - features: dense 64-bucket md5-hashed unigram counts (integers);
+    - labels: lang == 'en' (the derived-input pattern);
+    - fit: zero init, epochs=1, lr=0.5 (a power of two), l2=0 ->
+      every gradient sum is an exact multiple of 0.5, so
+      w_j = -(0.5*((0.5*I_j)/n)) with I_j = sum (1-2y)*cnt integer —
+      ONE rounding division per weight, bit-replayable in SQL;
+    - score: the margin fold runs left-to-right over the fixed bucket
+      order (learning._margin_expr), zero entries are exact no-ops, so
+      the oracle's list_reduce over the doc's nonzero buckets (ascending)
+      reproduces the margin bit-for-bit; kept = sigmoid(margin) >= 0.5
+      (== margin >= 0 away from the measure-zero boundary).
+    """
+    from fonduer_spark.learning import (
+        score_margin_with_model, score_with_model, train_logreg)
+
+    d = _docs(spark, sf_dir)
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    cnts = (
+        d.select("doc_id", tok)
+        .where(F.length("tok") > 0)
+        .select("doc_id",
+                (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                 .cast("long") % 64).alias("b"))
+        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = cnts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("b", "cnt"))).alias("m"))
+    keys_lit = F.array(*[F.lit(f"qb{j:02d}") for j in range(64)])
+    vals = F.array(*[
+        F.coalesce(F.element_at(F.col("m"), F.lit(j).cast("long")),
+                   F.lit(0)).cast("double")
+        for j in range(64)
+    ])
+    feats = (
+        d.select("doc_id", "lang").join(m, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("string").alias("candidate_sid"),
+            "doc_id", "lang",
+            keys_lit.alias("keys"), vals.alias("values"))
+    )
+    marginals = feats.select(
+        "candidate_sid",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("prob"))
+    W, B = train_logreg(feats, marginals, l2=0.0, lr=0.5, epochs=1)
+    scored = score_with_model(score_margin_with_model(feats, W, B), W, B)
+    return scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("model_margin", 6).alias("margin"),
+        (F.col("model_prob") >= 0.5).cast("int").alias("kept"),
+    ).orderBy("doc_id")
+
+
+_TEXT_QUALITY_MODEL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_duck_hex8('md5(t)', 1)} % 64 AS b
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents)
+  WHERE length(t) > 0
+),
+c AS (SELECT doc_id, b, count(*) AS cnt FROM tok GROUP BY 1, 2),
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+nn AS (SELECT count(*) AS n FROM documents),
+ij AS (
+  SELECT c.b AS b, sum((1 - 2 * lab.y) * c.cnt) AS i_j
+  FROM c JOIN lab USING (doc_id) GROUP BY c.b
+),
+wj AS (
+  SELECT b, -(0.5 * ((0.5 * CAST(i_j AS DOUBLE)) / nn.n)) AS w
+  FROM ij CROSS JOIN nn
+),
+wl AS (
+  SELECT list(coalesce(wj.w, 0.0) ORDER BY r.j) AS wlist
+  FROM range(0, 64) r(j) LEFT JOIN wj ON wj.b = r.j
+),
+bias AS (
+  SELECT -(0.5 * ((0.5 * CAST(nn.n - 2 * s.sy AS DOUBLE)) / nn.n)) AS bv
+  FROM nn CROSS JOIN (SELECT sum(y) AS sy FROM lab) s
+),
+pl AS (
+  SELECT doc_id, list(struct_pack(b := b, cnt := cnt) ORDER BY b) AS ps
+  FROM c GROUP BY doc_id
+),
+z AS (
+  SELECT d.doc_id AS doc_id,
+    CASE WHEN pl.ps IS NULL THEN bias.bv
+         ELSE list_reduce(
+                list_transform(pl.ps,
+                  p -> wl.wlist[CAST(p.b AS INTEGER) + 1] * p.cnt),
+                (a, x) -> a + x) + bias.bv
+    END AS zv
+  FROM documents d LEFT JOIN pl USING (doc_id)
+  CROSS JOIN wl CROSS JOIN bias
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(zv, 6) AS margin,
+       CAST(CASE WHEN zv >= 0 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM z ORDER BY doc_id
+"""
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate corpus-wide k-NN graph (similarity.knn_graph): banded
+    md5-Rademacher LSH candidates (the dedup_embcos family — never
+    all-pairs), one cosine per undirected pair mirrored into both
+    directions, per-source top-3 by (cos desc, dst). Buckets, cosines,
+    and ranks all reproduce in the DuckDB oracle."""
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 600)
+    return sim.knn_graph(emb, dim=64, k=3, n_planes=4, n_tables=4).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("src", "rank")
+
+
+_SIM_KNN_GRAPH_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < 600),
+keyed AS (SELECT vec_id, unnest([{_EMB_LSH_BAND_KEYS}]) AS bk FROM e),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM keyed x JOIN keyed y USING (bk) WHERE x.vec_id < y.vec_id
+),
+sc AS (
+  SELECT a, b,
+    round({_duck_dot('ea.v', 'eb.v')} /
+          (sqrt({_duck_dot('ea.v', 'ea.v')}) *
+           sqrt({_duck_dot('eb.v', 'eb.v')})), 6) AS cos
+  FROM pairs JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+),
+edges AS (
+  SELECT a AS src, b AS dst, cos FROM sc
+  UNION ALL
+  SELECT b AS src, a AS dst, cos FROM sc
+),
+r AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+  FROM edges
+)
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, cos,
+       CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3 ORDER BY src, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3017,6 +3463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embcos": q_dedup_embcos,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_urls": q_dedup_urls,
         # text analysis family
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -3030,6 +3478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_substring_dedup": q_text_substring_dedup,
         "text_boilerplate": q_text_boilerplate,
+        "text_gopher": q_text_gopher,
+        "text_dsir": q_text_dsir,
+        "text_quality_model": q_text_quality_model,
         "text_decontaminate": q_text_decontaminate,
         # similarity family
         "sim_topk": q_sim_topk,
@@ -3037,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_mt": q_sim_ann_mt,
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_ann_ivf_kmeans": q_sim_ann_ivf_kmeans,
+        "sim_knn_graph": q_sim_knn_graph,
         # multimodal family
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
@@ -3101,6 +3553,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embcos": _DEDUP_EMBCOS_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
+        "dedup_semantic": _DEDUP_SEMANTIC_SQL,
+        "dedup_urls": _DEDUP_URLS_SQL,
         "text_token_count": _TOKEN_COUNT_SQL,
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _LANG_SQL,
@@ -3113,12 +3567,16 @@ def oracle_sql() -> dict[str, str]:
         "text_pack": _TEXT_PACK_SQL,
         "text_substring_dedup": _TEXT_SUBSTRING_DEDUP_SQL,
         "text_boilerplate": _TEXT_BOILERPLATE_SQL,
+        "text_gopher": _TEXT_GOPHER_SQL,
+        "text_dsir": _TEXT_DSIR_SQL,
+        "text_quality_model": _TEXT_QUALITY_MODEL_SQL,
         "text_decontaminate": _TEXT_DECON_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_ann_lsh": _SIM_ANN_LSH_SQL,
         "sim_ann_mt": _SIM_ANN_MT_SQL,
         "sim_ann_ivf": _SIM_ANN_IVF_SQL,
         "sim_ann_ivf_kmeans": _SIM_TOPK_SQL,
+        "sim_knn_graph": _SIM_KNN_GRAPH_SQL,
         "mm_meta": _MM_META_SQL,
         "mm_features": _MM_FEATURES_SQL,
         "mm_frames": _MM_FRAMES_SQL,

@@ -160,3 +160,102 @@ def pack_token_stream(
     )
     return out.select(id_col, "n_tokens", "start_offset", "bin_id",
                       "bin_offset")
+
+
+def importance_ratio(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    threshold: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection via hashed n-gram importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling", arXiv:2302.03169): score every raw document by how much
+    its token distribution looks like a small TARGET corpus, under hashed
+    unigram bucket features.
+
+    The paper's weight is a product of per-token likelihood ratios; this
+    operator computes the *linearized* surrogate — the ratio of the doc's
+    mean target-bucket frequency to its mean raw-bucket frequency, add-one
+    smoothed:
+
+        score = (S_t * R) / (S_r * T),  S_t = sum_tok (tgt_cnt[b]+1),
+                                        S_r = sum_tok (raw_cnt[b]+1),
+        R = raw_total + n_buckets,      T = tgt_total + n_buckets
+
+    — monotone in the same signal, but exact integer sums -> double
+    products (< 2^53) -> ONE division -> round(6), so the score is
+    bit-identical in DuckDB and hash-checkable (no log/exp; the paper's
+    log-sum form needs transcendentals the oracle contract avoids).
+    score > 1 means "more target-like than the raw average".
+
+    Scale design: bucket = md5-hash(token) % n_buckets, so both count
+    tables have AT MOST ``n_buckets`` rows — they and the 1-row totals
+    broadcast; the only shuffle is the per-doc groupBy. Token explode is
+    map-side; partial aggregation combines before the shuffle. At 100 TB,
+    grow n_buckets (the paper uses 10^4 hashed buckets) — the broadcast
+    stays KB-scale.
+
+    Returns one row per input doc: (id, s_target, s_raw, score,
+    kept = score >= threshold as 0/1); token-less docs score 0.0.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+
+    def _tok_buckets(df: DataFrame) -> DataFrame:
+        tok = F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+        return (
+            df.select(F.col(id_col).alias("_id"), tok)
+            .where(F.length("tok") > 0)
+            .select(
+                "_id",
+                (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                 .cast("long") % n_buckets).alias("_b"),
+            )
+        )
+
+    raw_tok = _tok_buckets(docs)
+    raw_cnt = raw_tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_raw"))
+    tgt_cnt = (_tok_buckets(target)
+               .groupBy("_b").agg(F.count(F.lit(1)).alias("_tgt")))
+    totals = (
+        raw_cnt.agg(F.sum("_raw").alias("_raw_total"))
+        .crossJoin(tgt_cnt.agg(F.sum("_tgt").alias("_tgt_total")))
+        .select(
+            (F.col("_raw_total") + n_buckets).alias("_R"),
+            (F.coalesce(F.col("_tgt_total"), F.lit(0)) + n_buckets)
+            .alias("_T"),
+        )
+    )
+    sums = (
+        raw_tok
+        .join(F.broadcast(raw_cnt), "_b")
+        .join(F.broadcast(tgt_cnt), "_b", "left")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.coalesce("_tgt", F.lit(0)) + 1).alias("s_target"),
+            F.sum(F.col("_raw") + 1).alias("s_raw"),
+        )
+    )
+    scored = sums.crossJoin(F.broadcast(totals)).select(
+        "_id", "s_target", "s_raw",
+        F.round(
+            (F.col("s_target").cast("double") * F.col("_R"))
+            / (F.col("s_raw").cast("double") * F.col("_T")), 6
+        ).alias("score"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("s_target", F.lit(0)).cast("long").alias("s_target"),
+            F.coalesce("s_raw", F.lit(0)).cast("long").alias("s_raw"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+            F.when(F.coalesce("score", F.lit(0.0)) >= threshold, 1)
+            .otherwise(0).cast("int").alias("kept"),
+        )
+    )

@@ -435,3 +435,67 @@ def ann_topk(
         return lsh_bucketed_ann(emb, query_ids, dim, k=k, id_col=id_col,
                                 vec_col=vec_col, **knobs)
     raise ValueError(f"unknown ANN method {method!r}: expected 'ivf' or 'lsh'")
+
+
+def knn_graph(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus — the
+    all-nodes companion to ann_topk's per-query search, and the standard
+    first step of graph-based semantic clustering / SemDeDup-style
+    epsilon-ball analysis at corpus scale.
+
+    Construction: every vector keys into ``n_tables`` independent banded
+    sign-LSH buckets (md5-Rademacher planes — the dedup_embcos family, so
+    buckets, cosines and ranks are all reproducible in the DuckDB oracle);
+    undirected candidate pairs form WITHIN buckets only (never all-pairs,
+    O(sum bucket^2) per table), each pair's exact cosine is computed once
+    and mirrored into both directions, and a per-source window keeps the
+    top ``k`` by (cosine desc, neighbor id). Approximate by construction:
+    a true neighbor missing from all ``n_tables`` buckets is missed —
+    recall follows the banded-LSH curve 1-(1-p^planes)^tables.
+
+    Scale: candidate fanout is bounded by bucket sizes (AQE splits a hot
+    bucket); the final window shuffles once on the source id with at most
+    sum-of-bucket-sizes rows per source. Returns (src, dst, cos, rank).
+    """
+    keyed = emb.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(*[
+            F.concat_ws(
+                "|", F.lit(str(t)),
+                md5_bucket(F.col(vec_col), dim, n_planes, prefix=f"t{t}p"),
+            )
+            for t in range(n_tables)
+        ])).alias("bk"),
+    )
+    a = keyed.select(F.col("doc").alias("a"), "bk")
+    b = keyed.select(F.col("doc").alias("b"), "bk")
+    pairs = (
+        a.join(b, "bk")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    scored = (
+        pairs.join(va, "a").join(vb, "b")
+        .select("a", "b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+    )
+    edges = scored.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "cos"
+    ).unionByName(scored.select(
+        F.col("b").alias("src"), F.col("a").alias("dst"), "cos"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

