@@ -3386,6 +3386,68 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "rank")
 
 
+def q_sim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering = connected components over the thresholded
+    approximate k-NN graph (similarity.semantic_clusters): knn_graph edges
+    at cos >= 0.4, undirected, every vector a vertex (singletons survive),
+    cluster = smallest member id. The oracle replays the knn construction
+    AND the transitive closure (recursive CTE) AND the size census."""
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 600)
+    return sim.semantic_clusters(
+        emb, dim=64, threshold=0.4, k=3, n_planes=4, n_tables=4,
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("n_members").cast("long").alias("n_members"),
+    ).orderBy("vec_id")
+
+
+_SIM_CLUSTERS_SQL = f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE vec_id < 600),
+keyed AS (SELECT vec_id, unnest([{_EMB_LSH_BAND_KEYS}]) AS bk FROM e),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM keyed x JOIN keyed y USING (bk) WHERE x.vec_id < y.vec_id
+),
+sc AS (
+  SELECT a, b,
+    round({_duck_dot('ea.v', 'eb.v')} /
+          (sqrt({_duck_dot('ea.v', 'ea.v')}) *
+           sqrt({_duck_dot('eb.v', 'eb.v')})), 6) AS cos
+  FROM pairs JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+),
+edges AS (
+  SELECT a AS src, b AS dst, cos FROM sc
+  UNION ALL
+  SELECT b AS src, a AS dst, cos FROM sc
+),
+r AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+  FROM edges
+),
+sel AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM r WHERE rank <= 3 AND cos >= 0.4 GROUP BY 1, 2
+),
+verts AS (SELECT vec_id AS x FROM e),
+sym AS (SELECT a, b FROM sel UNION ALL SELECT b AS a, a AS b FROM sel),
+reach AS (
+  SELECT x AS v, x AS c FROM verts
+  UNION
+  SELECT s.b AS v, r2.c AS c FROM reach r2 JOIN sym s ON s.a = r2.v
+),
+comp AS (SELECT v, min(c) AS cluster FROM reach GROUP BY v),
+sz AS (SELECT cluster, count(*) AS n_members FROM comp GROUP BY cluster)
+SELECT CAST(comp.v AS BIGINT) AS vec_id,
+       CAST(comp.cluster AS BIGINT) AS cluster,
+       CAST(sz.n_members AS BIGINT) AS n_members
+FROM comp JOIN sz USING (cluster)
+ORDER BY vec_id
+"""
+
+
 _SIM_KNN_GRAPH_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
            WHERE vec_id < 600),
@@ -3489,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_ann_ivf_kmeans": q_sim_ann_ivf_kmeans,
         "sim_knn_graph": q_sim_knn_graph,
+        "sim_clusters": q_sim_clusters,
         # multimodal family
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
@@ -3577,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf": _SIM_ANN_IVF_SQL,
         "sim_ann_ivf_kmeans": _SIM_TOPK_SQL,
         "sim_knn_graph": _SIM_KNN_GRAPH_SQL,
+        "sim_clusters": _SIM_CLUSTERS_SQL,
         "mm_meta": _MM_META_SQL,
         "mm_features": _MM_FEATURES_SQL,
         "mm_frames": _MM_FRAMES_SQL,

@@ -499,3 +499,64 @@ def knn_graph(
         edges.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def semantic_clusters(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic clustering by connected components over the thresholded
+    approximate k-NN graph — the corpus-level composition of knn_graph +
+    linking.connected_components (the standard "cluster then act" step of
+    embedding-space curation: cluster-balanced sampling, per-cluster caps,
+    topic buckets).
+
+    Edges = knn_graph edges with cosine >= threshold, undirected + deduped;
+    EVERY input vector is a vertex, so isolated vectors come back as
+    singleton clusters. Cluster label = smallest member id (ids travel
+    through CC as 19-digit zero-padded strings — the near_dup_keep
+    convention, where lexicographic min equals numeric min for
+    non-negative int64). Returns (id, cluster, n_members).
+
+    Scale: inherits knn_graph's bucketed candidate bound and CC's hybrid
+    strategy (driver union-find under the rows+bytes guard, O(log diameter)
+    pointer-doubling label propagation above it). The edge frame is
+    persisted — it feeds CC's size guard and both strategies.
+    """
+    from ..linking import connected_components
+
+    g = knn_graph(emb, dim, k=k, n_planes=n_planes, n_tables=n_tables,
+                  id_col=id_col, vec_col=vec_col)
+
+    def key(c):
+        col = F.col(c)
+        return F.when(
+            col < 0,
+            F.raise_error(F.concat(
+                F.lit("semantic_clusters requires non-negative ids, got "),
+                col.cast("string"))).cast("string"),
+        ).otherwise(F.lpad(col.cast("string"), 19, "0"))
+
+    edges = (
+        g.where(F.col("cos") >= threshold)
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .select(key("a").alias("a"), key("b").alias("b"))
+        .persist()
+    )
+    verts = emb.select(key(id_col).alias("v"))
+    comp = connected_components(verts, edges)
+    comp = comp.select(
+        F.col("v").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("cluster"),
+    )
+    sizes = comp.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return comp.join(sizes, "cluster").select(id_col, "cluster", "n_members")

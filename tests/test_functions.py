@@ -586,3 +586,19 @@ def test_knn_graph_structure_and_brute_parity(spark, emb):
             assert r.cos == want
     # the planted near-duplicate pair must find each other
     assert by_src[0][0].dst == 1 and by_src[1][0].dst == 0
+
+
+def test_semantic_clusters_singletons_and_planted_pair(spark, emb):
+    """semantic_clusters: every vector gets a cluster row, the planted
+    near-duplicate pair (0, 1) lands in one cluster labeled by its
+    smallest member, and n_members is the true census of the labels."""
+    out = {r.vec_id: r for r in sim.semantic_clusters(
+        emb, dim=16, threshold=0.9, k=3).collect()}
+    assert set(out) == set(range(40))  # every vector, singletons included
+    assert out[0].cluster == 0 and out[1].cluster == 0
+    assert out[0].n_members == out[1].n_members >= 2
+    from collections import Counter
+    census = Counter(r.cluster for r in out.values())
+    for r in out.values():
+        assert r.n_members == census[r.cluster]
+        assert r.cluster <= r.vec_id  # label = smallest member
