@@ -3386,6 +3386,94 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "rank")
 
 
+def q_rel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window
+    (streaming.sessionize, 2-hour gap): per-user sessions, window =
+    [first_ts, last_ts + gap). The oracle replays it relationally — lag
+    island detection (diff >= gap starts a session, matching the
+    half-open window), running-sum session ids, then the same census.
+    Values are summed as exact integer cents so the aggregate is
+    order-independent across engines."""
+    from fonduer_spark.streaming import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap="2 hours").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    ).orderBy("user_id", "session_start")
+
+
+_REL_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              >= INTERVAL 2 HOUR
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, cents,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 2 HOUR AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-lite keyword retrieval (textstats.keyword_search): integer-
+    quantized idf (N*10^6 div df), per-doc integer scores, global top-20
+    by (score desc, id) planned as TakeOrderedAndProject. Exact integer
+    arithmetic end to end — the oracle replays tf, df, idf and ranks."""
+    return ts.keyword_search(
+        _docs(spark, sf_dir), ["table", "merge", "stream"], top_k=20,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+        "rank",
+    ).orderBy("rank")
+
+
+_TEXT_SEARCH_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents
+),
+hits AS (SELECT doc_id, t FROM tok
+         WHERE t IN ('table', 'merge', 'stream')),
+nn AS (SELECT count(*) AS n FROM documents),
+idf AS (
+  SELECT t, (nn.n * 1000000) // count(DISTINCT doc_id) AS idf
+  FROM hits CROSS JOIN nn GROUP BY t, nn.n
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY 1, 2),
+sc AS (
+  SELECT tf.doc_id AS doc_id, sum(tf.tf * idf.idf) AS score
+  FROM tf JOIN idf USING (t) GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(score AS BIGINT) AS score,
+       CAST(rank AS INTEGER) AS rank
+FROM top WHERE rank <= 20 ORDER BY rank
+"""
+
+
 def q_sim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering = connected components over the thresholded
     approximate k-NN graph (similarity.semantic_clusters): knn_graph edges
@@ -3543,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": q_text_gopher,
         "text_dsir": q_text_dsir,
         "text_quality_model": q_text_quality_model,
+        "text_search": q_text_search,
         "text_decontaminate": q_text_decontaminate,
         # similarity family
         "sim_topk": q_sim_topk,
@@ -3570,6 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube": q_rel_cube,
         "rel_pivot": q_rel_pivot,
         "rel_antijoin": q_rel_antijoin,
+        "rel_sessions": q_rel_sessions,
     }
 
 
@@ -3633,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher": _TEXT_GOPHER_SQL,
         "text_dsir": _TEXT_DSIR_SQL,
         "text_quality_model": _TEXT_QUALITY_MODEL_SQL,
+        "text_search": _TEXT_SEARCH_SQL,
         "text_decontaminate": _TEXT_DECON_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_ann_lsh": _SIM_ANN_LSH_SQL,
@@ -3657,4 +3748,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_cube": _REL_CUBE_SQL,
         "rel_pivot": _REL_PIVOT_SQL,
         "rel_antijoin": _REL_ANTIJOIN_SQL,
+        "rel_sessions": _REL_SESSIONS_SQL,
     }

@@ -499,6 +499,28 @@ def main_scaling(sf_dir: str, lo: int = 8, hi: int = 32,
                       "python_control_eff": round(ctl, 3), "runs": results}))
 
 
+def main_scaling_4_16(sf_dir: str, attempts: int = 3) -> None:
+    """Append alternating 4- and 16-core legs (identical job/input, the
+    supplement's neither-leg-saturates-the-box comparison) to
+    BENCH/scaling_4_16.jsonl and regenerate the report. One repeatable
+    command instead of the ad-hoc appends earlier rounds used."""
+    env = {**os.environ, "SPARK_GRAFT_UI": "true"}
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_4_16.jsonl", "a") as fh:
+        for _ in range(attempts):
+            for cores in (4, 16):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--kg-only",
+                     "--cores", str(cores), "--sf-dir", sf_dir],
+                    capture_output=True, text=True, check=True, env=env,
+                )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                fh.write(json.dumps(r) + "\n")
+                fh.flush()
+    _write_baseline_md(sf_dir)
+    print(json.dumps({"appended_pairs": attempts}))
+
+
 def _supplement_4_16() -> str:
     """Optional 4->16 supplement from BENCH/scaling_4_16.jsonl (one leg
     JSON per line, alternated 4/16 attempts): the pair where neither leg
@@ -718,6 +740,9 @@ def _burn(n: int) -> int:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-4-16", action="store_true",
+                    help="append alternating 4/16-core legs to "
+                         "BENCH/scaling_4_16.jsonl")
     ap.add_argument("--kg-only", action="store_true")
     ap.add_argument("--report-only", action="store_true",
                     help="regenerate BENCH/BASELINE.md from recorded history")
@@ -732,6 +757,8 @@ if __name__ == "__main__":
         _write_baseline_md(args.sf_dir)
     elif args.scaling:
         main_scaling(args.sf_dir, attempts=args.attempts)
+    elif args.scaling_4_16:
+        main_scaling_4_16(args.sf_dir, attempts=args.attempts)
     elif args.kg_only:
         print(json.dumps(main_kg_only(args.cores, args.sf_dir)))
     else:

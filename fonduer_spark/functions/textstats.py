@@ -380,3 +380,60 @@ def gopher_repetition(docs: DataFrame, id_col: str = "doc_id",
             .alias(f"frac_dup_{p}_chars"),
         ]
     return out.select("doc_id", *fills)
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: list,
+    top_k: int = 20,
+    idf_scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-lite keyword retrieval: score(d) = sum over query terms of
+    tf(t, d) * idf_q(t) with the idf QUANTIZED to an integer,
+    idf_q = (N * idf_scale) div df(t) — rarer terms weigh more, and the
+    whole score stays exact 64-bit integer arithmetic (the oracle-contract
+    discipline: no log() idf, no float tie ambiguity; the classic
+    log-scaled BM25 weighting is monotone in the same df ranking).
+
+    Relational shape (the inverted-index plan): tokenize -> keep query
+    terms only (the filter prunes the explode's output immediately) ->
+    per-(doc, term) tf census -> broadcast-join the |terms|-row df/idf
+    table -> per-doc sum -> global top-k by (score desc, id) via
+    orderBy+limit, which Spark plans as TakeOrderedAndProject (per-
+    partition heaps + driver merge — no single-partition sort of the
+    corpus). Returns (id, score, rank) with rank dense from 1.
+
+    Overflow bound: score <= n_tokens_per_doc * N * idf_scale; at
+    10^12 docs drop idf_scale (or pre-bucket df) to stay under 2^63 —
+    documented rather than silently truncated.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+    hits = (
+        docs.select(F.col(id_col).alias("_id"), tok)
+        .where(F.col("tok").isin(list(terms)))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    idf = (
+        hits.groupBy("tok").agg(F.countDistinct("_id").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("tok",
+                F.expr(f"(_n * {int(idf_scale)}) div _df").alias("_idf"))
+    )
+    tf = hits.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("_tf"))
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .groupBy("_id")
+        .agg(F.sum(F.col("_tf") * F.col("_idf")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("_id"))
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), F.asc("_id"))
+    return scored.select(
+        F.col("_id").alias(id_col), "score",
+        F.row_number().over(w).cast("int").alias("rank"))

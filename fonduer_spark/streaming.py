@@ -316,3 +316,42 @@ def stream_triples_incremental(
     )
     q.awaitTermination()
     return table.read(spark)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window``:
+    per-user sessions merge while consecutive events arrive within ``gap``
+    of the session's end; a session's window is [first_ts, last_ts + gap).
+    Works identically over a batch frame and a watermarked stream (the
+    session_window aggregation is the streaming-state form Spark manages
+    natively — no custom applyInPandasWithState needed for this shape).
+
+    Monetary-style values are summed as exact integer CENTS
+    (round(value*100) cast long) so the aggregate is order-independent and
+    hash-comparable across engines — a double sum's accumulation order
+    would not be. Output: (user, session_start, session_end, n_events,
+    sum_cents), session_end = last event + gap.
+
+    Scale: ONE shuffle on the user key; the session merge is Spark-native
+    state logic, no per-row Python. Skewed hot users are a groupBy skew
+    like any other (AQE).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        events
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(cents).alias("sum_cents"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "sum_cents",
+        )
+    )

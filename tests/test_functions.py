@@ -602,3 +602,28 @@ def test_semantic_clusters_singletons_and_planted_pair(spark, emb):
     for r in out.values():
         assert r.n_members == census[r.cluster]
         assert r.cluster <= r.vec_id  # label = smallest member
+
+
+def test_keyword_search_integer_scores(spark):
+    """keyword_search: integer-quantized idf weights rare terms higher,
+    scores are exact sums of tf*idf, ranks break ties by id, docs without
+    any query term are absent, empty term list raises."""
+    import pytest
+
+    from fonduer_spark.functions.textstats import keyword_search
+
+    docs = spark.createDataFrame(
+        [(0, "rare common common"), (1, "common"), (2, "common rare rare"),
+         (3, "nothing here"), (4, "common")],
+        "doc_id long, text string")
+    out = keyword_search(docs, ["rare", "common"], top_k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    # N=5; df(rare)=2 -> idf 2_500_000; df(common)=4 -> idf 1_250_000
+    assert rows[2].score == 2 * 2_500_000 + 1 * 1_250_000
+    assert rows[0].score == 1 * 2_500_000 + 2 * 1_250_000
+    assert rows[1].score == rows[4].score == 1_250_000
+    assert 3 not in rows
+    ranked = sorted(rows.values(), key=lambda r: r.rank)
+    assert [r.doc_id for r in ranked] == [2, 0, 1, 4]  # tie 1<4 by id
+    with pytest.raises(ValueError):
+        keyword_search(docs, [])

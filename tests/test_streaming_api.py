@@ -318,3 +318,31 @@ def test_merge_triple_partial_converges_to_batch(spark, tmp_path):
     assert sorted(a.provenance) == ["c1", "c2", "c4", "c5", "c6"]
     assert rows[("B", "p", "Y")].n_provenance == 1
     assert rows[("C", "p", "Z")].prob == 1.0
+
+
+def test_sessionize_gap_semantics(spark):
+    """session_window gap semantics: events within the gap chain one
+    session (window end = last event + gap); a gap-sized pause starts a
+    new one; values aggregate as exact cents."""
+    from datetime import datetime
+
+    from fonduer_spark.streaming import sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60, 0)
+
+    ev = spark.createDataFrame(
+        [(1, at(0), 1.25), (1, at(30), 2.50), (1, at(30 + 125), 0.25),
+         (2, at(10), 9.99)],
+        "user_id long, ts timestamp, value double")
+    rows = sorted(sessionize(ev, gap="2 hours").collect(),
+                  key=lambda r: (r.user_id, r.session_start))
+    assert len(rows) == 3
+    s1, s2, s3 = rows
+    assert (s1.user_id, s1.n_events, s1.sum_cents) == (1, 2, 375)
+    assert s1.session_start == t0 and s1.session_end == at(30 + 120)
+    assert (s2.user_id, s2.n_events, s2.sum_cents) == (1, 1, 25)
+    assert s2.session_start == at(155)
+    assert (s3.user_id, s3.n_events, s3.sum_cents) == (2, 1, 999)
