@@ -36,6 +36,8 @@ from fonduer_spark.functions import dedup as dd
 from fonduer_spark.functions import multimodal as mm
 from fonduer_spark.functions import similarity as sim
 from fonduer_spark.functions import textstats as ts
+from fonduer_spark.functions import temporal as tmpf
+from fonduer_spark.linking import pagerank
 from fonduer_spark.pipeline import kg_stages
 
 
@@ -3474,6 +3476,149 @@ FROM top WHERE rank <= 20 ORDER BY rank
 """
 
 
+def q_rel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (temporal.asof_join): every click event is
+    matched to the most recent error event at-or-before it by the same
+    user — the classic point-in-time lookup, built as ONE union + running
+    window max of a fixed-width-packed (ts, id) string (no join
+    explosion, one shuffle by user). The oracle replays the identical
+    union-and-running-max construction; ties are total-ordered by
+    (ts, side, packed) in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    return tmpf.asof_join(
+        clicks, errors, key="user_id", ts="ts", right_id="event_id",
+    ).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        # -1 sentinel for "no error yet": keeps the column non-nullable so
+        # pandas/arrow bridges can't widen BIGINT-with-NULLs to float64
+        F.coalesce(F.col("asof_event_id"), F.lit(-1)).cast("long")
+        .alias("asof_event_id"),
+    ).orderBy("event_id")
+
+
+_REL_ASOF_SQL = """
+WITH u AS (
+  SELECT user_id, ts, 0 AS side, CAST(NULL AS VARCHAR) AS packed, event_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, -1 AS side,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+         lpad(CAST(event_id AS VARCHAR), 12, '0') AS packed,
+         NULL AS event_id
+  FROM events WHERE event_type = 'error'
+),
+m AS (
+  SELECT event_id, user_id, side,
+         max(packed) OVER (PARTITION BY user_id ORDER BY ts, side, packed
+                           ROWS UNBOUNDED PRECEDING) AS best
+  FROM u
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(COALESCE(CAST(substr(best, 21, 12) AS BIGINT), -1) AS BIGINT)
+         AS asof_event_id
+FROM m WHERE side = 0
+ORDER BY event_id
+"""
+
+
+def q_rel_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (temporal.range_join_agg): per view event, the
+    count + exact-integer-cent sum of click events by the same user in
+    the following 10 minutes. Spark plans an equi-join on (user, time
+    bucket) with the probe side exploded to 2 buckets — never a cartesian
+    (plan-asserted in tests) — then exact range filtering; the oracle is
+    the plain inequality join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = ev.where(F.col("event_type") == "view")
+    clicks = ev.where(F.col("event_type") == "click")
+    return tmpf.range_join_agg(
+        views, clicks, key="user_id", ts="ts", left_id="event_id",
+        window_us=600_000_000, cents_col="value",
+    ).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_after", "cents_after",
+    ).orderBy("event_id")
+
+
+_REL_RANGE_SQL = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS lus
+           FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, epoch_us(ts) AS rus,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'click')
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(l.user_id AS BIGINT) AS user_id,
+       CAST(count(r.rus) AS BIGINT) AS n_after,
+       CAST(COALESCE(sum(r.cents), 0) AS BIGINT) AS cents_after
+FROM l LEFT JOIN r
+  ON r.user_id = l.user_id
+ AND r.rus > l.lus AND r.rus <= l.lus + 600000000
+GROUP BY l.event_id, l.user_id
+ORDER BY event_id
+"""
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality over the MATERIALIZED triple graph: 3 iterations
+    of exact-integer PageRank (linking.pagerank — floor-division only, so
+    rank values are engine-reproducible bit-for-bit) on the (subj -> obj)
+    edges the pipeline extracts. The oracle rebuilds the gold edge set
+    from the corpus formulas and unrolls the SAME three integer
+    iterations as CTEs."""
+    triples = kg_stages(spark, sf_dir)["triples"]
+    edges = triples.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return (
+        pagerank(edges, iters=3, scale=10**12)
+        .select(F.col("v").alias("node"),
+                F.col("rank_scaled").cast("long").alias("rank_scaled"))
+        .orderBy("node")
+    )
+
+
+def _kg_pagerank_sql() -> str:
+    # one integer PageRank step: contribs into v, then the damped update
+    step = """
+c{i} AS (
+  SELECT e.dst AS v, sum(r.rank // o.d) AS inflow
+  FROM edges e
+  JOIN r{p} r ON r.v = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.v, 150000000000 + (85 * COALESCE(c.inflow, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.v = n.v
+)"""
+    steps = ",".join(step.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+WITH docs AS (SELECT doc_id AS i FROM documents),
+tabs AS (
+  SELECT i, unnest(range(0, 1 + (i % 2) + CASE WHEN i % 50 = 0 THEN 6 ELSE 0 END)) AS t
+  FROM docs
+),
+cells AS (SELECT i, t, unnest(range(0, 3 + ((i + t) % 3))) AS r FROM tabs),
+edges AS (
+  SELECT DISTINCT
+    'PN' || CAST((i*17 + t*5 + r*3) % 900 + 100 AS VARCHAR)
+         || chr(CAST(65 + ((i + r) % 3) AS INTEGER)) AS src,
+    CAST(85 + ((i*3 + r*7) % 60) AS VARCHAR) AS dst
+  FROM cells
+),
+nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+{steps}
+SELECT v AS node, CAST(rank AS BIGINT) AS rank_scaled
+FROM r3 ORDER BY node
+"""
+
+
 def q_sim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering = connected components over the thresholded
     approximate k-NN graph (similarity.semantic_clusters): knn_graph edges
@@ -3603,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nary_features": q_kg_nary_features,
         "kg_entities": q_kg_entities,
         "kg_quality": q_kg_quality,
+        "kg_pagerank": q_kg_pagerank,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -3660,6 +3806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot": q_rel_pivot,
         "rel_antijoin": q_rel_antijoin,
         "rel_sessions": q_rel_sessions,
+        "rel_asof": q_rel_asof,
+        "rel_range": q_rel_range,
     }
 
 
@@ -3749,4 +3897,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_pivot": _REL_PIVOT_SQL,
         "rel_antijoin": _REL_ANTIJOIN_SQL,
         "rel_sessions": _REL_SESSIONS_SQL,
+        "rel_asof": _REL_ASOF_SQL,
+        "rel_range": _REL_RANGE_SQL,
+        "kg_pagerank": _kg_pagerank_sql(),
     }

@@ -250,3 +250,74 @@ def canonicalize_triples(triples: DataFrame, entities: DataFrame) -> DataFrame:
         F.coalesce("obj_entity", "obj").alias("obj"),
         *[c for c in triples.columns if c not in ("subj", "pred", "obj")],
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the materialized graph, in exact
+    integer arithmetic: (node, rank_scaled).
+
+    The standard KG centrality pass over the (subj, pred, obj) graph
+    tables this pipeline materializes. ``edges``: columns 'src','dst'
+    (directed; deduplicated here). Every rank is an integer multiple of
+    1/scale computed with floor division ONLY:
+
+        rank_0(v)  = scale
+        contrib(e) = rank(src) div outdeg(src)
+        rank'(v)   = (den-num)*scale div den
+                     + num * sum(contribs into v) div den
+
+    so both engines (Spark and the DuckDB oracle, which unrolls the same
+    iterations as CTEs) agree bit-for-bit — no float sums, no ordering
+    sensitivity. Dangling nodes (no out-edges) simply leak their mass,
+    the usual simplification when the jump constant is fixed rather than
+    renormalized per round.
+
+    Scale design: the Pregel-in-DataFrame pattern — each round is one
+    shuffle join (ranks ⋈ edges on src; the edge frame is pre-joined with
+    out-degrees ONCE and persisted, so every round reuses the same
+    src-partitioned build side) plus one groupBy(dst) with map-side
+    partial sums. Fixed ``iters`` bounds total work; localCheckpoint per
+    round truncates the lineage so plans stay O(1). Overflow bound:
+    inflow <= N*scale, so num*inflow needs num*N*scale < 2**63 — at
+    10**12 nodes drop ``scale`` accordingly.
+    """
+    e = edges.select("src", "dst").distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    ed = e.join(outdeg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    base = (damping_den - damping_num) * scale // damping_den
+    ranks = nodes.select(
+        "v", F.lit(int(scale)).cast("long").alias("rank_scaled"))
+    for _ in range(int(iters)):
+        inflow = (
+            ed.join(ranks, ed.src == ranks.v)
+            .select(F.col("dst").alias("v"),
+                    F.expr("rank_scaled div _d").alias("_c"))
+            .groupBy("v")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(inflow, "v", "left")
+            .select(
+                "v",
+                (F.lit(int(base)) + F.expr(
+                    f"({int(damping_num)} * coalesce(_in, 0L)) "
+                    f"div {int(damping_den)}"))
+                .cast("long").alias("rank_scaled"),
+            )
+            .localCheckpoint()
+        )
+    ed.unpersist()
+    nodes.unpersist()
+    return ranks

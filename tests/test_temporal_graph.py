@@ -1,0 +1,141 @@
+"""Temporal joins (asof/range) and integer PageRank: brute-force parity on
+synthetic frames, tie semantics, plan shape, and an independent python
+replica for the graph ranks."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fonduer_spark.functions.temporal import asof_join, range_join_agg
+from fonduer_spark.linking import pagerank
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, offset_seconds, kind, value)"""
+    return spark.createDataFrame(
+        [(eid, uid, BASE + dt.timedelta(seconds=off), kind, float(val))
+         for eid, uid, off, kind, val in rows],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+
+
+def _mixed(spark, n_users=7, n=400):
+    # deterministic pseudo-random-ish spread: arithmetic offsets, two kinds
+    rows = []
+    for i in range(n):
+        rows.append((
+            i, i % n_users, (i * 37) % 3600 + (i % 11) * 7,
+            "L" if i % 3 else "R", (i % 97) + 0.25,
+        ))
+    return _events(spark, rows)
+
+
+def test_asof_matches_bruteforce(spark):
+    ev = _mixed(spark)
+    left = ev.where(F.col("event_type") == "L")
+    right = ev.where(F.col("event_type") == "R")
+    got = {
+        r.event_id: r.asof_event_id
+        for r in asof_join(left, right).collect()
+    }
+    lrows = left.collect()
+    rrows = right.collect()
+    for lr in lrows:
+        cands = [rr for rr in rrows
+                 if rr.user_id == lr.user_id and rr.ts <= lr.ts]
+        want = (max(cands, key=lambda r: (r.ts, r.event_id)).event_id
+                if cands else None)
+        assert got[lr.event_id] == want, lr
+
+
+def test_asof_inclusive_and_tie_semantics(spark):
+    # right row AT the left ts matches (inclusive); two right rows at the
+    # same ts resolve to the larger id
+    left = _events(spark, [(100, 1, 50, "L", 0)])
+    right = _events(spark, [
+        (1, 1, 50, "R", 0), (2, 1, 50, "R", 0), (3, 1, 51, "R", 0),
+        (4, 2, 10, "R", 0),  # other user: never matches
+    ])
+    out = asof_join(left, right).collect()
+    assert len(out) == 1 and out[0].asof_event_id == 2
+
+
+def test_asof_no_match_is_null(spark):
+    left = _events(spark, [(100, 1, 10, "L", 0)])
+    right = _events(spark, [(1, 1, 20, "R", 0)])
+    assert asof_join(left, right).collect()[0].asof_event_id is None
+
+
+def test_range_join_matches_bruteforce(spark):
+    ev = _mixed(spark)
+    left = ev.where(F.col("event_type") == "L")
+    right = ev.where(F.col("event_type") == "R")
+    win_us = 60_000_000  # 60 s: small enough to span bucket boundaries
+    got = {r.event_id: (r.n_after, r.cents_after)
+           for r in range_join_agg(left, right, window_us=win_us).collect()}
+    rrows = right.collect()
+    for lr in left.collect():
+        hits = [rr for rr in rrows
+                if rr.user_id == lr.user_id
+                and lr.ts < rr.ts <= lr.ts + dt.timedelta(seconds=60)]
+        want = (len(hits), sum(round(rr.value * 100) for rr in hits))
+        assert got[lr.event_id] == want, lr
+
+
+def test_range_join_boundaries(spark):
+    # strictly-after lower bound, inclusive upper bound
+    left = _events(spark, [(100, 1, 0, "L", 0)])
+    right = _events(spark, [
+        (1, 1, 0, "R", 1.0),    # == left ts: excluded
+        (2, 1, 600, "R", 2.0),  # == left ts + window: included
+        (3, 1, 601, "R", 4.0),  # past window: excluded
+    ])
+    out = range_join_agg(left, right, window_us=600_000_000).collect()
+    assert out[0].n_after == 1 and out[0].cents_after == 200
+
+
+def test_range_join_plans_hash_join_not_cartesian(spark):
+    ev = _mixed(spark)
+    df = range_join_agg(ev, ev)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def _pagerank_replica(edges, iters=3, scale=10**12):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: scale for v in nodes}
+    base = 15 * scale // 100
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // out[s]
+        rank = {v: base + (85 * inflow[v]) // 100 for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_matches_integer_replica(spark, iters):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("d", "a"), ("e", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.v: r.rank_scaled
+           for r in pagerank(df, iters=iters).collect()}
+    assert got == _pagerank_replica(edges, iters=iters)
+
+
+def test_pagerank_dedups_edges_and_keeps_sinks(spark):
+    # duplicate edges count once; pure-sink node appears with inflow
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "b")], "src string, dst string")
+    got = {r.v: r.rank_scaled for r in pagerank(df, iters=1).collect()}
+    assert got == _pagerank_replica([("a", "b")], iters=1)
+    assert set(got) == {"a", "b"}
