@@ -35,6 +35,7 @@ from fonduer_spark.corpus import PRED, gold_triples_sql
 from fonduer_spark.functions import dedup as dd
 from fonduer_spark.functions import multimodal as mm
 from fonduer_spark.functions import similarity as sim
+from fonduer_spark.functions import sketches as sk
 from fonduer_spark.functions import textstats as ts
 from fonduer_spark.functions import temporal as tmpf
 from fonduer_spark.linking import pagerank
@@ -3563,6 +3564,82 @@ ORDER BY event_id
 """
 
 
+def q_rel_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (temporal.time_rollup): the
+    per-hour AND per-day event rollups from ONE Spark ROLLUP pass (one
+    scan, one shuffle, map-side partials — not one job per resolution).
+    hour = -1 encodes the day-level row (no NULLs through the pandas
+    bridge); sums are exact integer cents. The oracle is the same
+    GROUP BY ROLLUP in DuckDB."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tmpf.time_rollup(ev).orderBy("day", "hour")
+
+
+_REL_ROLLUP_TIME_SQL = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS day, hour(ts) AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT day,
+       CAST(COALESCE(hour, -1) AS BIGINT) AS hour,
+       CAST(GROUPING(day, hour) AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b
+GROUP BY ROLLUP(day, hour)
+HAVING GROUPING(day, hour) < 3
+ORDER BY day, hour
+"""
+
+
+def q_text_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via the deterministic KMV
+    bottom-k sketch (sketches.kmv_distinct) — the engine-reproducible
+    alternative to HLL (Spark's HLL++ and DuckDB's HLL disagree by
+    construction; md5 bottom-k + floor division replays bit-for-bit).
+    The oracle rebuilds the k smallest 32-bit hash prefixes per language
+    and applies the same (k-1)*2^32 div h_k estimator."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("tok"),
+    )
+    return (
+        sk.kmv_distinct(toks, "tok", "lang", k=64)
+        .select("lang",
+                F.col("n_distinct_est").cast("long").alias("n_distinct_est"))
+        .orderBy("lang")
+    )
+
+
+_TEXT_DISTINCT_KMV_SQL = f"""
+WITH raw AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT lang, {_duck_hex8("md5(t)", 1)} AS h FROM raw
+),
+topk AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM tok
+),
+agg AS (
+  SELECT lang, count(*) AS n, max(h) AS hk
+  FROM topk WHERE rn <= 64 GROUP BY lang
+)
+SELECT lang,
+       CAST(CASE WHEN n < 64 THEN n
+                 ELSE (63 * 4294967296) // greatest(hk, 1) END AS BIGINT)
+         AS n_distinct_est
+FROM agg ORDER BY lang
+"""
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph centrality over the MATERIALIZED triple graph: 3 iterations
     of exact-integer PageRank (linking.pagerank — floor-division only, so
@@ -3808,6 +3885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessions": q_rel_sessions,
         "rel_asof": q_rel_asof,
         "rel_range": q_rel_range,
+        "rel_rollup_time": q_rel_rollup_time,
+        "text_distinct_kmv": q_text_distinct_kmv,
     }
 
 
@@ -3899,5 +3978,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_sessions": _REL_SESSIONS_SQL,
         "rel_asof": _REL_ASOF_SQL,
         "rel_range": _REL_RANGE_SQL,
+        "rel_rollup_time": _REL_ROLLUP_TIME_SQL,
+        "text_distinct_kmv": _TEXT_DISTINCT_KMV_SQL,
         "kg_pagerank": _kg_pagerank_sql(),
     }

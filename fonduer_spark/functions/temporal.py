@@ -152,3 +152,40 @@ def range_join_agg(
             .alias("cents_after"),
         )
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts: str = "ts",
+    cents_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: ONE pass producing BOTH the
+    per-hour and per-day rollups of an event stream (the multi-resolution
+    materialization a time-series store keeps incrementally).
+
+    Uses Spark's native ROLLUP so the two granularities share a single
+    shuffle with map-side partial aggregation — at 10^12 rows this is one
+    scan + one exchange, not one per resolution. The grand-total grouping
+    set is dropped; ``level`` = 0 for hour rows, 1 for day rows; ``hour``
+    is -1 on day rows (encoded, not NULL, so arrow/pandas bridges keep
+    the column integral). Values aggregate as exact integer cents.
+    """
+    base = df.select(
+        F.date_trunc("day", F.col(ts)).alias("day"),
+        F.hour(F.col(ts)).alias("hour"),
+        F.round(F.col(cents_col) * 100).cast("long").alias("_cents"),
+    )
+    return (
+        base.rollup("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("_cents").alias("sum_cents"),
+             F.grouping_id().cast("long").alias("level"))
+        .where(F.col("level") < 3)  # keep (day,hour) + (day); drop ()
+        .select(
+            "day",
+            F.coalesce(F.col("hour"), F.lit(-1)).cast("long").alias("hour"),
+            "level",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )

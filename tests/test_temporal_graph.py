@@ -139,3 +139,50 @@ def test_pagerank_dedups_edges_and_keeps_sinks(spark):
     got = {r.v: r.rank_scaled for r in pagerank(df, iters=1).collect()}
     assert got == _pagerank_replica([("a", "b")], iters=1)
     assert set(got) == {"a", "b"}
+
+
+def test_time_rollup_consistency_and_bruteforce(spark):
+    from fonduer_spark.functions.temporal import time_rollup
+
+    ev = _mixed(spark, n_users=3, n=300)
+    rows = time_rollup(ev).collect()
+    hours = [r for r in rows if r.level == 0]
+    days = {r.day: r for r in rows if r.level == 1}
+    # every day row aggregates exactly its hour rows
+    for d, dr in days.items():
+        hs = [r for r in hours if r.day == d]
+        assert dr.n_events == sum(r.n_events for r in hs)
+        assert dr.sum_cents == sum(r.sum_cents for r in hs)
+        assert dr.hour == -1
+    # brute force against the raw frame
+    raw = ev.collect()
+    want_n = {}
+    for r in raw:
+        key = (r.ts.replace(hour=0, minute=0, second=0, microsecond=0),
+               r.ts.hour)
+        want_n[key] = want_n.get(key, 0) + 1
+    got_n = {(r.day, r.hour): r.n_events for r in hours}
+    assert got_n == want_n
+
+
+def test_kmv_exact_below_capacity(spark):
+    from fonduer_spark.functions.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"tok{i % 17}") for i in range(200)], "lang string, tok string")
+    out = kmv_distinct(df, "tok", "lang", k=64).collect()
+    assert out[0].n_distinct_est == 17
+
+
+def test_kmv_estimates_within_tolerance(spark):
+    from fonduer_spark.functions.sketches import kmv_distinct
+
+    n_true = 5000
+    df = spark.createDataFrame(
+        [("g", f"token-{i}") for i in range(n_true)], "lang string, tok string")
+    est = kmv_distinct(df, "tok", "lang", k=256).collect()[0].n_distinct_est
+    # k=256 -> ~6% relative error; allow 4 sigma
+    assert abs(est - n_true) / n_true < 0.25, est
+    # deterministic: same answer on re-run
+    est2 = kmv_distinct(df, "tok", "lang", k=256).collect()[0].n_distinct_est
+    assert est == est2
