@@ -186,3 +186,18 @@ def test_kmv_estimates_within_tolerance(spark):
     # deterministic: same answer on re-run
     est2 = kmv_distinct(df, "tok", "lang", k=256).collect()[0].n_distinct_est
     assert est == est2
+
+
+def test_asof_join_is_single_shuffle(spark):
+    # the 100 TB claim, machine-checked: union + window = exactly ONE
+    # Exchange (hash partition by key), no join operator at all
+    ev = _mixed(spark)
+    out = asof_join(ev.where(F.col("event_type") == "L"),
+                    ev.where(F.col("event_type") == "R"))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    # formatted plans list each node twice (tree + numbered detail)
+    n_exchanges = len({ln.strip() for ln in plan.splitlines()
+                       if ln.strip().startswith("(") and "Exchange" in ln})
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan
