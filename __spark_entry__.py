@@ -3184,6 +3184,50 @@ def _derived_urls(d: DataFrame) -> DataFrame:
     )
 
 
+def q_dedup_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl dedup over the input-hint table shape: the corpus web
+    pages (url, warc_ts = epoch + doc_id seconds) unioned with a
+    deterministic second crawl of every third url one day later;
+    weburl.latest_snapshot keeps the newest snapshot per url via ONE
+    groupBy max(struct) — no window sort. The oracle rebuilds both crawls
+    from the doc_id formulas and replays max/count per url."""
+    from fonduer_spark.corpus import make_web_pages
+    from fonduer_spark.functions import weburl as wu
+
+    pages = make_web_pages(spark, sf_dir).select("url", "warc_ts")
+    doc_id = F.substring("url", 23, 6).cast("long")
+    recrawl = (
+        pages.where(doc_id % 3 == 0)
+        .select("url", (F.col("warc_ts")
+                        + F.expr("INTERVAL 1 DAY")).alias("warc_ts"))
+    )
+    return (
+        wu.latest_snapshot(pages.unionByName(recrawl))
+        .select("url", F.col("warc_ts").alias("kept_ts"), "n_versions")
+        .orderBy("url")
+    )
+
+
+_DEDUP_RECRAWL_SQL = """
+WITH c1 AS (
+  SELECT 'https://fixture.test/d' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+           AS url,
+         TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id) SECOND
+           AS warc_ts,
+         doc_id
+  FROM documents
+),
+u AS (
+  SELECT url, warc_ts FROM c1
+  UNION ALL
+  SELECT url, warc_ts + INTERVAL 1 DAY FROM c1 WHERE doc_id % 3 = 0
+)
+SELECT url, max(warc_ts) AS kept_ts,
+       CAST(count(*) AS BIGINT) AS n_versions
+FROM u GROUP BY url ORDER BY url
+"""
+
+
 def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup with full RFC-3986-style canonicalization
     (weburl.canon_url: scheme/host case, www, default ports, tracking
@@ -3838,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_semantic": q_dedup_semantic,
         "dedup_urls": q_dedup_urls,
+        "dedup_recrawl": q_dedup_recrawl,
         # text analysis family
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -3978,6 +4023,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_sessions": _REL_SESSIONS_SQL,
         "rel_asof": _REL_ASOF_SQL,
         "rel_range": _REL_RANGE_SQL,
+        "dedup_recrawl": _DEDUP_RECRAWL_SQL,
         "rel_rollup_time": _REL_ROLLUP_TIME_SQL,
         "text_distinct_kmv": _TEXT_DISTINCT_KMV_SQL,
         "kg_pagerank": _kg_pagerank_sql(),

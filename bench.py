@@ -530,12 +530,21 @@ def _supplement_4_16() -> str:
         return ""
     legs = [json.loads(ln) for ln in open(path)]
     by = {4: [], 16: []}
-    for r in legs:
-        by[r["cores"]].append(r)
-    pairs = [
-        round((b["triples_per_sec"] / a["triples_per_sec"]) / 4, 3)
-        for a, b in zip(by[4], by[16])
-    ]
+    # pair ADJACENT (4, 16) lines so an interrupted run's orphan leg can't
+    # shift every later pair into a different measurement window
+    pairs = []
+    i = 0
+    while i < len(legs):
+        if (i + 1 < len(legs) and legs[i]["cores"] == 4
+                and legs[i + 1]["cores"] == 16):
+            a, b = legs[i], legs[i + 1]
+            pairs.append(round(
+                (b["triples_per_sec"] / a["triples_per_sec"]) / 4, 3))
+            by[4].append(a)
+            by[16].append(b)
+            i += 2
+        else:
+            i += 1  # orphan leg: skip, don't misalign
     best4 = max(by[4], key=lambda r: r["triples_per_sec"])
     best16 = max(by[16], key=lambda r: r["triples_per_sec"])
     eff_best = round((best16["triples_per_sec"]

@@ -95,3 +95,32 @@ def dedup_urls(
             .otherwise(0).cast("int").alias("kept"),
         )
     )
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Re-crawl dedup: keep the NEWEST crawl snapshot per key — the
+    standard first step over a Common-Crawl-style table where the same
+    url appears once per crawl with a ``warc_ts``.
+
+    One groupBy with map-side partial aggregation (no window sort over
+    the full crawl history): ``max(struct(ts, <other columns>))`` — the
+    struct's total order makes recency dominate and the remaining columns
+    break exact-``ts`` ties deterministically. Adds ``n_versions`` (crawl
+    count per key). At 10^12 rows this is a single shuffle on the key
+    with partial maxes combining per partition — strictly cheaper than
+    the row_number window equivalent.
+    """
+    ordered = [ts] + [c for c in pages.columns if c not in (key, ts)]
+    g = pages.groupBy(key).agg(
+        F.max(F.struct(*[F.col(c).alias(c) for c in ordered])).alias("_b"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return g.select(
+        key,
+        *[F.col(f"_b.{c}").alias(c) for c in ordered],
+        F.col("n_versions").cast("long").alias("n_versions"),
+    )

@@ -51,3 +51,23 @@ def test_dedup_urls_elects_min_id(spark):
     assert rows[3].canonical_id == 1 and rows[3].kept == 0
     assert rows[9].canonical_id == 9 and rows[9].kept == 1
     assert rows[2].canon_url == "https://example.com/x?a=1&b=2"
+
+
+def test_latest_snapshot_keeps_newest_and_counts(spark):
+    import datetime as dt
+
+    from fonduer_spark.functions.weburl import latest_snapshot
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("u1", t0, "old"),
+        ("u1", t0 + dt.timedelta(days=1), "new"),
+        ("u2", t0, "only"),
+        ("u3", t0, "tie-a"),
+        ("u3", t0, "tie-b"),  # exact-ts tie: struct order -> larger payload
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload string")
+    got = {r.url: (r.payload, r.n_versions)
+           for r in latest_snapshot(df).collect()}
+    assert got == {"u1": ("new", 2), "u2": ("only", 1), "u3": ("tie-b", 2)}
