@@ -3740,6 +3740,125 @@ FROM r3 ORDER BY node
 """
 
 
+def q_kg_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesion census of the extracted KG: build the entity co-occurrence
+    graph (edge = two part entities asserted in the same document at
+    prob >= 0.5) and count triangles per node via degree-oriented
+    compact-forward (linking.triangle_counts — the skew-safe MapReduce
+    standard; orientation bounds wedge fan-out by O(sqrt(|E|)) so hub
+    entities cannot blow up the join). The oracle rebuilds the per-doc
+    entity census from the corpus formulas and replays the identical
+    orientation + wedge-closure joins in SQL; all outputs exact integers."""
+    from fonduer_spark.linking import cooccurrence_edges, triangle_counts
+    from fonduer_spark.triples import normalize_surface
+
+    scored = kg_stages(spark, sf_dir)["scored"]
+    ents = scored.where(F.col("prob") >= 0.5).select(
+        "url", normalize_surface(F.col("a_span_text")).alias("ent"))
+    edges = cooccurrence_edges(ents, doc_col="url", ent_col="ent")
+    return triangle_counts(edges).orderBy("node")
+
+
+_KG_COOCCUR_TRIANGLES_SQL = """
+WITH docs AS (SELECT doc_id AS i FROM documents),
+tabs AS (
+  SELECT i, unnest(range(0, 1 + (i % 2) + CASE WHEN i % 50 = 0 THEN 6 ELSE 0 END)) AS t
+  FROM docs
+),
+cells AS (SELECT i, t, unnest(range(0, 3 + ((i + t) % 3))) AS r FROM tabs),
+ents AS (
+  SELECT DISTINCT i,
+    'PN' || CAST((i*17 + t*5 + r*3) % 900 + 100 AS VARCHAR)
+         || chr(CAST(65 + ((i + r) % 3) AS INTEGER)) AS ent
+  FROM cells
+),
+edges AS (
+  SELECT DISTINCT x.ent AS a, y.ent AS b
+  FROM ents x JOIN ents y ON x.i = y.i AND x.ent < y.ent
+),
+deg AS (
+  SELECT v, count(*) AS degree
+  FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY v
+),
+orient AS (
+  SELECT
+    CASE WHEN da.degree < db.degree
+              OR (da.degree = db.degree AND e.a < e.b)
+         THEN e.a ELSE e.b END AS lo,
+    CASE WHEN da.degree < db.degree
+              OR (da.degree = db.degree AND e.a < e.b)
+         THEN e.b ELSE e.a END AS hi
+  FROM edges e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+),
+wed AS (
+  SELECT p.lo AS apex, p.hi AS h1, q.hi AS h2
+  FROM orient p JOIN orient q ON p.lo = q.lo AND p.hi < q.hi
+),
+tri AS (SELECT apex, h1, h2 FROM wed JOIN edges e ON e.a = wed.h1 AND e.b = wed.h2),
+pern AS (
+  SELECT v, count(*) AS nt
+  FROM (SELECT apex AS v FROM tri
+        UNION ALL SELECT h1 FROM tri
+        UNION ALL SELECT h2 FROM tri)
+  GROUP BY v
+)
+SELECT deg.v AS node,
+       CAST(deg.degree AS BIGINT) AS degree,
+       CAST(COALESCE(pern.nt, 0) AS BIGINT) AS n_triangles
+FROM deg LEFT JOIN pern ON pern.v = deg.v
+ORDER BY node
+"""
+
+
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): one
+    corpus-wide word-frequency census, then 3 merge rounds over the
+    vocab-sized table — winner per round by exact-integer pair count with
+    (count DESC, left, right) tie-break; merges applied via leftmost
+    non-overlapping string replace, identical semantics in both engines.
+    The oracle unrolls the same 3 rounds as chained CTEs."""
+    from fonduer_spark.functions import bpe
+
+    return bpe.bpe_train(_docs(spark, sf_dir), text_col="text", rounds=3)
+
+
+def _text_bpe_train_sql() -> str:
+    # double-space symbol gaps + single-space sentinels: replace of
+    # ' l  r ' -> ' lr ' is exact greedy BPE application (see
+    # fonduer_spark/functions/bpe.py module docstring)
+    rnd = """
+sy{k} AS (SELECT freq, string_split(trim(seq), '  ') AS s FROM s{p}),
+pr{k} AS (SELECT s[i] AS l, s[i+1] AS r, freq
+          FROM sy{k}, unnest(range(1, len(s))) AS u(i)),
+cn{k} AS (SELECT l, r, sum(freq) AS cnt FROM pr{k} GROUP BY l, r),
+t{k} AS (SELECT l, r, l || r AS m, cnt FROM cn{k}
+         ORDER BY cnt DESC, l, r LIMIT 1),
+s{k} AS (SELECT freq,
+           replace(seq,
+                   ' ' || (SELECT l FROM t{k}) || '  ' || (SELECT r FROM t{k}) || ' ',
+                   ' ' || (SELECT m FROM t{k}) || ' ') AS seq
+         FROM s{p})"""
+    rounds = ",".join(rnd.format(k=k, p=k - 1) for k in (1, 2, 3))
+    return f"""
+WITH words AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+s0 AS (SELECT freq,
+         ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS seq
+       FROM words),
+{rounds}
+SELECT CAST(k AS INTEGER) AS round, l AS left_sym, r AS right_sym,
+       m AS merged, CAST(cnt AS BIGINT) AS pair_count
+FROM (SELECT 1 AS k, l, r, m, cnt FROM t1
+      UNION ALL SELECT 2, l, r, m, cnt FROM t2
+      UNION ALL SELECT 3, l, r, m, cnt FROM t3)
+ORDER BY round
+"""
+
+
 def q_sim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering = connected components over the thresholded
     approximate k-NN graph (similarity.semantic_clusters): knn_graph edges
@@ -3870,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": q_kg_entities,
         "kg_quality": q_kg_quality,
         "kg_pagerank": q_kg_pagerank,
+        "kg_cooccur_triangles": q_kg_cooccur_triangles,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -3901,6 +4021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_model": q_text_quality_model,
         "text_search": q_text_search,
         "text_decontaminate": q_text_decontaminate,
+        "text_bpe_train": q_text_bpe_train,
         # similarity family
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -4027,4 +4148,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_rollup_time": _REL_ROLLUP_TIME_SQL,
         "text_distinct_kmv": _TEXT_DISTINCT_KMV_SQL,
         "kg_pagerank": _kg_pagerank_sql(),
+        "kg_cooccur_triangles": _KG_COOCCUR_TRIANGLES_SQL,
+        "text_bpe_train": _text_bpe_train_sql(),
     }

@@ -321,3 +321,123 @@ def pagerank(
     ed.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def cooccurrence_edges(
+    doc_entities: DataFrame,
+    doc_col: str = "url",
+    ent_col: str = "ent",
+    max_per_doc: int = 1000,
+) -> DataFrame:
+    """Entity co-occurrence graph: an undirected edge (a, b), a < b, for
+    every pair of distinct entities appearing in the same document.
+
+    The standard KG enrichment step after triple extraction (entities that
+    co-occur are candidate relation pairs / graph-embedding context). Shape:
+    one shuffle on ``doc_col``, then a per-document self-join — quadratic in
+    per-doc entity count, which is why ``max_per_doc`` hard-fails on
+    pathological docs instead of silently producing a hot partition: at
+    100 TB a single mega-doc (navigation boilerplate listing 10^5 entities)
+    would otherwise emit 10^10 pairs. Callers with such docs should cap or
+    sample upstream; the guard makes the decision explicit.
+    """
+    de = (
+        doc_entities.select(
+            F.col(doc_col).alias("_d"), F.col(ent_col).alias("_e"))
+        .distinct()
+        .persist()
+    )
+    over = (
+        de.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > int(max_per_doc))
+        .limit(1).collect()
+    )
+    if over:
+        raise ValueError(
+            f"cooccurrence_edges: doc {over[0]._d!r} has {over[0]._n} "
+            f"entities (> max_per_doc={max_per_doc}); cap or sample "
+            "upstream before building the co-occurrence graph")
+    edges = (
+        de.alias("x")
+        .join(de.alias("y"), "_d")
+        .where(F.col("x._e") < F.col("y._e"))
+        .select(F.col("x._e").alias("a"), F.col("y._e").alias("b"))
+        .distinct()
+    )
+    return edges
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected graph:
+    (node, degree, n_triangles) — the classic cohesion census (local
+    clustering numerator) over the materialized entity graph.
+
+    ``edges``: columns 'a','b' (undirected; canonicalized + deduplicated
+    here). Algorithm is compact-forward / degree orientation — the
+    MapReduce-era standard for counting at scale (Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer"):
+
+      orient each edge from its (degree, id)-smaller endpoint ->
+      wedges = self-join of oriented edges on the low endpoint ->
+      triangle iff the two high endpoints are themselves an edge.
+
+    Orientation bounds per-node out-degree by O(sqrt(|E|)), so the wedge
+    join never explodes on hubs — THE skew property that makes this safe at
+    web scale (a naive apex join on raw degree is quadratic in the hub
+    degree). Three shuffle joins + one groupBy total; every triangle is
+    enumerated exactly once (its (degree,id)-minimal vertex is the unique
+    apex). All outputs are exact integers (hash-safe cross-engine).
+    """
+    e = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("_db"))
+    a_is_lo = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(a_is_lo, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_is_lo, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    p, q = oriented.alias("p"), oriented.alias("q")
+    wedges = (
+        p.join(q, "lo")
+        .where(F.col("p.hi") < F.col("q.hi"))
+        .select(
+            F.col("lo").alias("apex"),
+            F.col("p.hi").alias("h1"),
+            F.col("q.hi").alias("h2"),
+        )
+    )
+    tri = wedges.join(
+        e, (F.col("h1") == F.col("a")) & (F.col("h2") == F.col("b")))
+    per_node = (
+        tri.select(F.col("apex").alias("v"))
+        .unionByName(tri.select(F.col("h1").alias("v")))
+        .unionByName(tri.select(F.col("h2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long").alias("n_triangles"),
+        )
+    )

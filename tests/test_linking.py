@@ -92,3 +92,40 @@ def test_connected_components_byte_guard(spark):
         vertices, edges, driver_max_bytes=8192).collect()}
     assert comps["a"] == comps["b"] == "a"
     assert comps["c"] == "c" and comps["d"] == "d"
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on a,b,c,d (4 triangles, each node in 3) plus pendant edge d-e
+    from fonduer_spark.linking import triangle_counts
+
+    k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    edges = spark.createDataFrame(
+        k4 + [("e", "d"), ("d", "e"), ("a", "a")],  # dup + self loop dropped
+        "a string, b string")
+    got = {r.node: (r.degree, r.n_triangles)
+           for r in triangle_counts(edges).collect()}
+    assert got == {
+        "a": (3, 3), "b": (3, 3), "c": (3, 3), "d": (4, 3), "e": (1, 0)}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from fonduer_spark.linking import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "a string, b string")
+    rows = triangle_counts(edges).collect()
+    assert all(r.n_triangles == 0 for r in rows)
+    assert {r.node for r in rows} == set("abcd")
+
+
+def test_cooccurrence_edges_and_guard(spark):
+    from fonduer_spark.linking import cooccurrence_edges
+
+    de = spark.createDataFrame(
+        [("d1", "x"), ("d1", "y"), ("d1", "x"), ("d2", "y"), ("d2", "z"),
+         ("d3", "q")],
+        "url string, ent string")
+    got = {(r.a, r.b) for r in cooccurrence_edges(de).collect()}
+    assert got == {("x", "y"), ("y", "z")}
+    with pytest.raises(ValueError, match="max_per_doc"):
+        cooccurrence_edges(de, max_per_doc=1)
