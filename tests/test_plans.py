@@ -235,3 +235,33 @@ def test_minhash_km_single_digest_plan(spark):
     assert md_plan.count("md5") >= 16
     # same bucketed join shape, and a deterministic pair set
     assert sorted(map(tuple, km.collect())) == sorted(map(tuple, km.collect()))
+
+
+def test_triangle_counts_no_cartesian_all_jvm(spark):
+    """Triangle counting must plan as equi-joins only (degree orientation
+    bounds wedge fan-out; a CartesianProduct would be the all-pairs
+    scale-killer) and stay entirely JVM-side."""
+    from fonduer_spark.linking import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "a string, b string")
+    plan = plan_of(triangle_counts(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_rounds_never_rescan_corpus(spark):
+    """bpe_train touches the corpus exactly once (the word census is
+    localCheckpointed before round 1); every merge round iterates the
+    vocab-sized table, so the final merge-table plan must contain no
+    parquet scan at all — THE property that keeps round cost independent
+    of corpus bytes at 100 TB."""
+    from fonduer_spark.functions import bpe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = bpe.bpe_train(docs, rounds=2)
+    plan = plan_of(merges)
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert merges.count() == 2
