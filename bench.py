@@ -529,6 +529,11 @@ def _supplement_4_16() -> str:
     if not os.path.exists(path):
         return ""
     legs = [json.loads(ln) for ln in open(path)]
+    # cross-leg stats are only meaningful between legs that ran the SAME
+    # workload: restrict to the modal n_docs (replicate changes n_docs;
+    # wall/throughput at 50k docs is not comparable to 120k docs)
+    modal = _modal_docs(legs)
+    legs = [r for r in legs if r.get("n_docs") == modal]
     by = {4: [], 16: []}
     # pair ADJACENT (4, 16) lines so an interrupted run's orphan leg can't
     # shift every later pair into a different measurement window
@@ -589,6 +594,16 @@ def _supplement_4_16() -> str:
     )
 
 
+def _modal_docs(legs) -> int:
+    """Most common n_docs across leg records — the canonical workload size;
+    legs measured at other replicate factors are excluded from CROSS-window
+    comparisons (their walls/throughputs describe a different job), while
+    within-window paired efficiencies remain valid at any size."""
+    from collections import Counter
+
+    return Counter(r.get("n_docs") for r in legs).most_common(1)[0][0]
+
+
 def _per_delivered_core_line(best: dict, lo: int, hi: int) -> str:
     """The 8->32 analogue of the 4->16 supplement's per-delivered-core
     normalization: throughput divided by the cores the hypervisor actually
@@ -624,9 +639,13 @@ def _write_baseline_md(sf_dir: str, lo: int = 8, hi: int = 32,
     eff = best_window["eff"]
     best = {int(c): r for c, r in best_window["runs"].items()}
     ceil_legs = {}
+    all_legs = [r for h in history for r in h["runs"].values()]
+    modal = _modal_docs(all_legs)
     for h in history:
         for c, r in h["runs"].items():
             c = int(c)
+            if r.get("n_docs") != modal:
+                continue  # different replicate factor: not wall-comparable
             if c not in ceil_legs or r["wall_sec"] < ceil_legs[c]["wall_sec"]:
                 ceil_legs[c] = r
     eff_ceiling = (ceil_legs[hi]["triples_per_sec"]
