@@ -3859,6 +3859,57 @@ ORDER BY round
 """
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train + encode end-to-end: learn 3 BPE merges from the
+    corpus (bpe_train), then apply them in round order to every document
+    and count the resulting tokens per doc (bpe_encode — one corpus pass
+    of pure column replaces + one groupBy). The oracle chains the same
+    training CTEs and replays the per-doc encode with the learned merges
+    as scalar subqueries."""
+    from fonduer_spark.functions import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.bpe_train(docs, text_col="text", rounds=3)
+    return (
+        bpe.bpe_encode(docs, merges, text_col="text",
+                       id_col="doc_id", rounds=3)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _text_bpe_encode_sql() -> str:
+    # reuse the training rounds (t1..t3, s0..s3 CTEs), then encode the
+    # per-doc word stream with the learned merges applied in round order
+    train = _text_bpe_train_sql()
+    train_ctes = train.split("WITH ", 1)[1].rsplit("SELECT CAST(k", 1)[0]
+    train_ctes = train_ctes.rstrip().rstrip(",")
+    enc = """
+docw AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+  FROM documents
+),
+e0 AS (
+  SELECT doc_id,
+         ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS seq
+  FROM docw WHERE w <> ''
+),
+e1 AS (SELECT doc_id,
+         replace(seq, ' ' || (SELECT l FROM t1) || '  ' || (SELECT r FROM t1) || ' ',
+                 ' ' || (SELECT m FROM t1) || ' ') AS seq FROM e0),
+e2 AS (SELECT doc_id,
+         replace(seq, ' ' || (SELECT l FROM t2) || '  ' || (SELECT r FROM t2) || ' ',
+                 ' ' || (SELECT m FROM t2) || ' ') AS seq FROM e1),
+e3 AS (SELECT doc_id,
+         replace(seq, ' ' || (SELECT l FROM t3) || '  ' || (SELECT r FROM t3) || ' ',
+                 ' ' || (SELECT m FROM t3) || ' ') AS seq FROM e2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(len(string_split(trim(seq), '  '))) AS BIGINT) AS n_tokens
+FROM e3 GROUP BY doc_id ORDER BY doc_id
+"""
+    return "WITH " + train_ctes + "," + enc
+
+
 def q_sim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering = connected components over the thresholded
     approximate k-NN graph (similarity.semantic_clusters): knn_graph edges
@@ -4022,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": q_text_search,
         "text_decontaminate": q_text_decontaminate,
         "text_bpe_train": q_text_bpe_train,
+        "text_bpe_encode": q_text_bpe_encode,
         # similarity family
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -4150,4 +4202,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_cooccur_triangles": _KG_COOCCUR_TRIANGLES_SQL,
         "text_bpe_train": _text_bpe_train_sql(),
+        "text_bpe_encode": _text_bpe_encode_sql(),
     }

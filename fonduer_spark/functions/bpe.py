@@ -129,3 +129,53 @@ def bpe_train(
             .localCheckpoint()
         )
     return reduce(DataFrame.unionByName, merges).orderBy("round")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """Apply a learned merge table to the corpus: (id_col, n_tokens) —
+    the per-document BPE token count after all merges, the number every
+    sequence-packing / context-budget decision downstream needs.
+
+    ``merges`` is the output of :func:`bpe_train` (one row per round).
+    Each merge round r is broadcast-crossJoined (1 row) into the per-word
+    frame and applied as the same ' l  r ' -> ' lr ' leftmost replace the
+    trainer used, IN round order — so encoding is exactly the greedy
+    application of the learned merge list (canonical BPE encode for this
+    merge count). Everything is column expressions over one corpus pass +
+    one groupBy(id_col); merge rows must exist for rounds 1..rounds (a
+    missing round would empty the crossJoin — bpe_train always emits one
+    row per round).
+    """
+    words = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).where(F.col("word") != "").select(
+        "_id",
+        F.concat(
+            F.lit(" "),
+            F.expr("rtrim(regexp_replace(word, '(.)', '$1  '))"),
+            F.lit(" "),
+        ).alias("seq"),
+    )
+    for rnd in range(1, int(rounds) + 1):
+        m = merges.where(F.col("round") == rnd).select(
+            "left_sym", "right_sym", "merged")
+        words = words.crossJoin(F.broadcast(m)).select(
+            "_id",
+            F.expr(
+                "replace(seq, concat(' ', left_sym, '  ', right_sym, ' '), "
+                "concat(' ', merged, ' '))").alias("seq"),
+        )
+    return (
+        words.select(
+            "_id", F.expr("size(split(trim(seq), '  '))").alias("_n"))
+        .groupBy("_id")
+        .agg(F.sum("_n").cast("long").alias("n_tokens"))
+        .select(F.col("_id").alias(id_col), "n_tokens")
+    )
