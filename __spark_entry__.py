@@ -2029,6 +2029,39 @@ def q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lang").orderBy("doc_id")
 
 
+def q_text_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (sampling.priority_sample,
+    Duffield-Lund-Thorup priority sampling): keep the 200 documents with
+    the smallest md5-uniform/weight priorities, weighting by n_chars —
+    the fixed-budget quality/length-weighted subset selection step of
+    corpus curation. Plans as TakeOrdered (per-partition heap, no global
+    sort); priority = one IEEE division of exact integers, so the oracle
+    reproduces the kept set and ranks bit-for-bit."""
+    from fonduer_spark.functions.sampling import priority_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return (
+        priority_sample(d, weight_col="n_chars", k=200, salt="prio")
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "weight", "rank")
+        .orderBy("rank")
+    )
+
+
+_TEXT_SAMPLE_PRIORITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ({_duck_hex8("md5(CAST(doc_id AS VARCHAR) || ':prio')", 1)} + 1)
+         / CAST(n_chars AS DOUBLE) AS pr
+  FROM documents WHERE n_chars > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       CAST(row_number() OVER (ORDER BY pr, doc_id) AS INTEGER) AS rank
+FROM s ORDER BY pr, doc_id LIMIT 200
+"""
+
+
 def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing
     (sampling.pack_token_stream): every document's global token start
@@ -4064,6 +4097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_curate": q_text_curate,
         "text_pii": q_text_pii,
         "text_sample": q_text_sample,
+        "text_sample_priority": q_text_sample_priority,
         "text_pack": q_text_pack,
         "text_substring_dedup": q_text_substring_dedup,
         "text_boilerplate": q_text_boilerplate,
@@ -4162,6 +4196,7 @@ def oracle_sql() -> dict[str, str]:
         "text_curate": _TEXT_CURATE_SQL,
         "text_pii": _TEXT_PII_SQL,
         "text_sample": _TEXT_SAMPLE_SQL,
+        "text_sample_priority": _TEXT_SAMPLE_PRIORITY_SQL,
         "text_pack": _TEXT_PACK_SQL,
         "text_substring_dedup": _TEXT_SUBSTRING_DEDUP_SQL,
         "text_boilerplate": _TEXT_BOILERPLATE_SQL,

@@ -259,3 +259,61 @@ def importance_ratio(
             .otherwise(0).cast("int").alias("kept"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "priority",
+    strata_col: Optional[str] = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    u / w where u is a deterministic md5-uniform 32-bit integer (+1) and
+    w its integer weight; the k SMALLEST priorities win, so heavier rows
+    are proportionally likelier to be kept. The curation use: pick a
+    fixed-size training subset favoring long / high-quality documents,
+    exactly reproducibly (same kept set on any engine, partitioning, or
+    rerun — unlike rand()-based reservoir approaches).
+
+    Determinism: u and w are exact integers; priority is ONE IEEE double
+    division, bit-identical across engines (the r4 float-determinism
+    rule); ties break on id.
+
+    Scale shape: without strata the global top-k plans as TakeOrdered
+    (per-partition heap + driver merge of k rows — no global sort, no
+    single-partition window over the corpus); with ``strata_col`` it is a
+    per-stratum window (one shuffle on the stratum key). Rows with
+    non-positive weight are excluded (unsampleable), k >= corpus size
+    degenerates to keeping everything.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit(":" + salt))), 1, 8),
+            16, 10,
+        ).cast("long") + 1
+    )
+    w = F.col(weight_col).cast("long")
+    scored = (
+        df.where(w > 0)
+        .withColumn("_pr", u.cast("double") / w.cast("double"))
+    )
+    base_cols = [F.col(id_col), F.col(weight_col).cast("long").alias("weight")]
+    if strata_col is None:
+        kept = scored.orderBy(F.asc("_pr"), F.asc(id_col)).limit(int(k))
+        # rank window runs over the k already-selected rows only
+        win = Window.orderBy(F.asc("_pr"), F.asc(id_col))
+        return kept.select(
+            *base_cols, F.row_number().over(win).cast("int").alias("rank"))
+    win = Window.partitionBy(strata_col).orderBy(F.asc("_pr"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select(F.col(strata_col), *base_cols, F.col("rank"))
+    )

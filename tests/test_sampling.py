@@ -185,3 +185,42 @@ def test_importance_ratio_partitioning_independent(spark):
     b = sorted(map(tuple, importance_ratio(
         d.repartition(13), tgt.repartition(3)).collect()))
     assert a == b
+
+
+def test_priority_sample_basic_and_deterministic(spark):
+    from fonduer_spark.functions.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, 10 if i % 10 == 0 else 1) for i in range(200)],
+        "doc_id long, w long")
+    a = priority_sample(df, "w", k=40).collect()
+    b = priority_sample(df.repartition(7), "w", k=40).collect()
+    assert [(r.doc_id, r.weight, r.rank) for r in a] \
+        == [(r.doc_id, r.weight, r.rank) for r in b]  # layout-independent
+    assert len(a) == 40 and [r.rank for r in a] == list(range(1, 41))
+    # weight-10 rows are 10% of the corpus but must be strongly
+    # overrepresented in the kept set (each is ~10x likelier per slot)
+    heavy = sum(1 for r in a if r.weight == 10)
+    assert heavy >= 10, heavy
+
+
+def test_priority_sample_strata_and_guards(spark):
+    import pytest
+    from fonduer_spark.functions.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 3, "en" if i % 2 == 0 else "de") for i in range(50)],
+        "doc_id long, w long, lang string")
+    out = priority_sample(df, "w", k=5, strata_col="lang").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append(r.rank)
+    assert set(per) == {"en", "de"}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+    with pytest.raises(ValueError, match="k must be"):
+        priority_sample(df, "w", k=0)
+    # zero/negative weights are unsampleable
+    z = spark.createDataFrame([(1, 0), (2, -3), (3, 5)],
+                              "doc_id long, w long")
+    kept = priority_sample(z, "w", k=10).collect()
+    assert [r.doc_id for r in kept] == [3]
