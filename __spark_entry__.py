@@ -2029,6 +2029,72 @@ def q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lang").orderBy("doc_id")
 
 
+_CMS_PROBES = ["the", "spark", "batch", "window", "stream", "zzz_absent"]
+
+
+def q_text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (sketches.cms_sketch /
+    cms_estimate): build a 3x512 md5-hashed CMS over the corpus word
+    stream (bounded memory regardless of corpus size, cell-wise
+    mergeable across shards), point-query six probe words, and join the
+    exact census — est_count >= true_count always (collisions only add).
+    Every cell and estimate replays exactly in the oracle."""
+    from fonduer_spark.functions import sketches as skx
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    sketch = skx.cms_sketch(words, "w", width=512, depth=3)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "w string")
+    est = skx.cms_estimate(sketch, probes, "w", width=512, depth=3)
+    true = (
+        words.join(F.broadcast(probes), "w")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(true, "w", "left")
+        .select(
+            F.col("w").alias("word"), "est_count",
+            F.coalesce("true_count", F.lit(0))
+            .cast("long").alias("true_count"))
+        .orderBy("word")
+    )
+
+
+def _text_cms_counts_sql() -> str:
+    probes = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    bucket = _duck_hex8(
+        "md5(CAST(row AS VARCHAR) || ':' || w)", 1) + " % 512"
+    return f"""
+WITH wd AS (
+  SELECT w FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+  WHERE w <> ''
+),
+cells AS (
+  SELECT row, {bucket} AS bucket, count(*) AS cnt
+  FROM wd, unnest(range(0, 3)) AS d(row)
+  GROUP BY row, bucket
+),
+pr AS (SELECT w FROM (VALUES {probes}) p(w)),
+pk AS (
+  SELECT w, row, {bucket} AS bucket
+  FROM pr, unnest(range(0, 3)) AS d(row)
+),
+est AS (
+  SELECT pk.w, min(COALESCE(cells.cnt, 0)) AS est_count
+  FROM pk LEFT JOIN cells USING (row, bucket)
+  GROUP BY pk.w
+),
+tr AS (SELECT w, count(*) AS true_count FROM wd JOIN pr USING (w) GROUP BY w)
+SELECT est.w AS word,
+       CAST(est.est_count AS BIGINT) AS est_count,
+       CAST(COALESCE(tr.true_count, 0) AS BIGINT) AS true_count
+FROM est LEFT JOIN tr ON tr.w = est.w
+ORDER BY word
+"""
+
+
 def q_text_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (sampling.priority_sample,
     Duffield-Lund-Thorup priority sampling): keep the 200 documents with
@@ -4098,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_sample": q_text_sample,
         "text_sample_priority": q_text_sample_priority,
+        "text_cms_counts": q_text_cms_counts,
         "text_pack": q_text_pack,
         "text_substring_dedup": q_text_substring_dedup,
         "text_boilerplate": q_text_boilerplate,
@@ -4197,6 +4264,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii": _TEXT_PII_SQL,
         "text_sample": _TEXT_SAMPLE_SQL,
         "text_sample_priority": _TEXT_SAMPLE_PRIORITY_SQL,
+        "text_cms_counts": _text_cms_counts_sql(),
         "text_pack": _TEXT_PACK_SQL,
         "text_substring_dedup": _TEXT_SUBSTRING_DEDUP_SQL,
         "text_boilerplate": _TEXT_BOILERPLATE_SQL,

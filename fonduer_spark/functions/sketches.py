@@ -64,3 +64,74 @@ def kmv_distinct(
             .cast("long").alias("n_distinct_est"),
         )
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 512,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan) of a value stream:
+    (row, bucket, cnt) — ``depth`` independent md5 hash rows of ``width``
+    buckets each; every occurrence increments one bucket per row.
+
+    THE bounded-memory frequency structure for 100 TB streams: the sketch
+    is width*depth cells regardless of input size, built with ONE
+    map-side-combinable groupBy after a depth-way explode, and MERGEABLE
+    (sketches of corpus shards sum cell-wise — the property approx
+    structures need for distributed/streaming aggregation). Estimates
+    only ever OVERcount (collisions add), never undercount.
+
+    Deterministic by construction: bucket = 32-bit md5 prefix of
+    '<row>:<value>' mod width — the oracle replays every cell exactly
+    (unlike rand()-seeded CMS implementations).
+    """
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1; got {width}/{depth}")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row")
+    return (
+        df.select(F.col(col).cast("string").alias("_v"))
+        .select("_v", rows)
+        .select(
+            "row",
+            F.pmod(
+                _hash32(F.concat(F.col("row").cast("string"),
+                                 F.lit(":"), F.col("_v"))),
+                F.lit(int(width)),
+            ).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    width: int = 512,
+    depth: int = 3,
+) -> DataFrame:
+    """Point-query a CMS: (probe_col, est_count) = min over hash rows of
+    the probed cell. Absent cells count 0 (an empty bucket means the
+    value never occurred). The probe side is broadcast (it is the small
+    query set); the sketch side is width*depth rows at most."""
+    keyed = probes.select(F.col(probe_col).alias("_p")).distinct()
+    rows = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row")
+    pk = keyed.select("_p", rows).select(
+        "_p", "row",
+        F.pmod(
+            _hash32(F.concat(F.col("row").cast("string"),
+                             F.lit(":"), F.col("_p"))),
+            F.lit(int(width)),
+        ).alias("bucket"),
+    )
+    return (
+        F.broadcast(pk)
+        .join(sketch, ["row", "bucket"], "left")
+        .groupBy("_p")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+        .select(F.col("_p").alias(probe_col),
+                F.col("est_count").cast("long").alias("est_count"))
+    )

@@ -201,3 +201,44 @@ def test_asof_join_is_single_shuffle(spark):
                        if ln.strip().startswith("(") and "Exchange" in ln})
     assert n_exchanges == 1, plan
     assert "Join" not in plan
+
+
+def test_cms_never_undercounts_and_exact_probes(spark):
+    from fonduer_spark.functions.sketches import cms_estimate, cms_sketch
+
+    vals = [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1
+    df = spark.createDataFrame(vals, "v string")
+    sk = cms_sketch(df, "v", width=64, depth=3)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("nope",)],
+                                   "v string")
+    got = {r.v: r.est_count
+           for r in cms_estimate(sk, probes, "v", width=64, depth=3).collect()}
+    assert got["a"] >= 50 and got["b"] >= 7 and got["c"] >= 1
+    # 3 distinct values in 64*3 cells: no collisions, estimates exact
+    assert got == {"a": 50, "b": 7, "c": 1, "nope": 0}
+
+
+def test_cms_mergeable_across_shards(spark):
+    from pyspark.sql import functions as F
+    from fonduer_spark.functions.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 == 0 else "y") for i in range(40)],
+        "i long, v string")
+    whole = cms_sketch(df, "v", width=32, depth=2)
+    merged = (
+        cms_sketch(df.where("i < 20"), "v", width=32, depth=2)
+        .unionByName(cms_sketch(df.where("i >= 20"), "v", width=32, depth=2))
+        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) \
+        == sorted(map(tuple, merged.collect()))
+
+
+def test_cms_rejects_bad_shape(spark):
+    import pytest
+    from fonduer_spark.functions.sketches import cms_sketch
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="width"):
+        cms_sketch(df, "v", width=1, depth=0)
