@@ -2044,7 +2044,9 @@ def q_text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _docs(spark, sf_dir).select(
         F.explode(F.split(F.col("text"), r"\s+")).alias("w")
     ).where(F.col("w") != "")
-    sketch = skx.cms_sketch(words, "w", width=512, depth=3)
+    # persisted: cms_estimate's shape check plus the probe join both read
+    # the (<= width*depth cells) sketch
+    sketch = skx.cms_sketch(words, "w", width=512, depth=3).persist()
     probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "w string")
     est = skx.cms_estimate(sketch, probes, "w", width=512, depth=3)
     true = (
@@ -3970,8 +3972,7 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     merges = bpe.bpe_train(docs, text_col="text", rounds=3)
     return (
-        bpe.bpe_encode(docs, merges, text_col="text",
-                       id_col="doc_id", rounds=3)
+        bpe.bpe_encode(docs, merges, text_col="text", id_col="doc_id")
         .select(F.col("doc_id").cast("long").alias("doc_id"), "n_tokens")
         .orderBy("doc_id")
     )
@@ -4001,10 +4002,15 @@ e2 AS (SELECT doc_id,
                  ' ' || (SELECT m FROM t2) || ' ') AS seq FROM e1),
 e3 AS (SELECT doc_id,
          replace(seq, ' ' || (SELECT l FROM t3) || '  ' || (SELECT r FROM t3) || ' ',
-                 ' ' || (SELECT m FROM t3) || ' ') AS seq FROM e2)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(sum(len(string_split(trim(seq), '  '))) AS BIGINT) AS n_tokens
-FROM e3 GROUP BY doc_id ORDER BY doc_id
+                 ' ' || (SELECT m FROM t3) || ' ') AS seq FROM e2),
+cnt AS (
+  SELECT doc_id, sum(len(string_split(trim(seq), '  '))) AS n_tokens
+  FROM e3 GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(cnt.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN cnt USING (doc_id)
+ORDER BY doc_id
 """
     return "WITH " + train_ctes + "," + enc
 

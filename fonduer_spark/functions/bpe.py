@@ -68,6 +68,12 @@ def bpe_train(
 
     localCheckpoint per round truncates lineage (same pattern as
     linking.pagerank) so plans stay O(1) in ``rounds``.
+
+    Early stop: when the pair census is exhausted before ``rounds``
+    (every word fully merged), training stops and the table has fewer
+    rows — the same behavior as textbook trainers; callers must not
+    assume exactly ``rounds`` rows (bpe_encode derives the rounds it
+    applies from the table itself).
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
@@ -117,6 +123,8 @@ def bpe_train(
             )
             .localCheckpoint()
         )
+        if not top1.take(1):  # pair census exhausted: stop (cheap — top1
+            break             # is a checkpointed <=1-row frame)
         merges.append(top1)
         seqs = (
             seqs.crossJoin(F.broadcast(top1))
@@ -128,6 +136,10 @@ def bpe_train(
             )
             .localCheckpoint()
         )
+    if not merges:  # corpus had no adjacent symbol pairs at all
+        return docs.sparkSession.createDataFrame(
+            [], "round int, left_sym string, right_sym string, "
+                "merged string, pair_count long")
     return reduce(DataFrame.unionByName, merges).orderBy("round")
 
 
@@ -136,22 +148,26 @@ def bpe_encode(
     merges: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    rounds: int = 3,
 ) -> DataFrame:
     """Apply a learned merge table to the corpus: (id_col, n_tokens) —
     the per-document BPE token count after all merges, the number every
-    sequence-packing / context-budget decision downstream needs.
+    sequence-packing / context-budget decision downstream needs. EVERY
+    input document appears in the output; documents with no words encode
+    to n_tokens = 0 (a left join from the doc census, not a silent drop).
 
-    ``merges`` is the output of :func:`bpe_train` (one row per round).
-    Each merge round r is broadcast-crossJoined (1 row) into the per-word
-    frame and applied as the same ' l  r ' -> ' lr ' leftmost replace the
-    trainer used, IN round order — so encoding is exactly the greedy
-    application of the learned merge list (canonical BPE encode for this
-    merge count). Everything is column expressions over one corpus pass +
-    one groupBy(id_col); merge rows must exist for rounds 1..rounds (a
-    missing round would empty the crossJoin — bpe_train always emits one
-    row per round).
+    ``merges`` is the output of :func:`bpe_train`. The merge list is
+    collected to the driver first — a BOUNDED collect of at most
+    ``rounds`` rows (the merge table IS tiny driver state in every real
+    BPE trainer) — then each merge is applied as the same literal
+    ' l  r ' -> ' lr ' leftmost replace the trainer used, in round
+    order: exactly the greedy application of the learned merge list.
+    Everything else is column expressions over one corpus pass + one
+    groupBy(id_col). Deriving the rounds from the table itself (rather
+    than trusting a rounds parameter) makes an early-stopped trainer
+    (pair census exhausted) encode correctly instead of annihilating the
+    corpus frame on an empty round.
     """
+    merge_rows = sorted(merges.collect(), key=lambda r: r["round"])
     words = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
@@ -163,19 +179,24 @@ def bpe_encode(
             F.lit(" "),
         ).alias("seq"),
     )
-    for rnd in range(1, int(rounds) + 1):
-        m = merges.where(F.col("round") == rnd).select(
-            "left_sym", "right_sym", "merged")
-        words = words.crossJoin(F.broadcast(m)).select(
-            "_id",
-            F.expr(
-                "replace(seq, concat(' ', left_sym, '  ', right_sym, ' '), "
-                "concat(' ', merged, ' '))").alias("seq"),
+    seq = F.col("seq")
+    for r in merge_rows:
+        seq = F.replace(
+            seq,
+            F.lit(f" {r['left_sym']}  {r['right_sym']} "),
+            F.lit(f" {r['merged']} "),
         )
-    return (
-        words.select(
-            "_id", F.expr("size(split(trim(seq), '  '))").alias("_n"))
+    counts = (
+        words.select("_id", seq.alias("seq"))
+        .select("_id", F.expr("size(split(trim(seq), '  '))").alias("_n"))
         .groupBy("_id")
         .agg(F.sum("_n").cast("long").alias("n_tokens"))
-        .select(F.col("_id").alias(id_col), "n_tokens")
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id")).distinct()
+        .join(counts, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
     )

@@ -291,14 +291,10 @@ def priority_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"),
-                               F.lit(":" + salt))), 1, 8),
-            16, 10,
-        ).cast("long") + 1
-    )
+    from .sketches import _hash32
+
+    u = _hash32(F.concat(F.col(id_col).cast("string"),
+                         F.lit(":" + salt))) + 1
     w = F.col(weight_col).cast("long")
     scored = (
         df.where(w > 0)

@@ -86,6 +86,11 @@ def cms_sketch(
     Deterministic by construction: bucket = 32-bit md5 prefix of
     '<row>:<value>' mod width — the oracle replays every cell exactly
     (unlike rand()-seeded CMS implementations).
+
+    The sketch carries its shape as literal ``width``/``depth`` columns
+    so :func:`cms_estimate` can verify it probes with the SAME hash
+    space — probing a sketch with mismatched shape would silently
+    undercount, the one failure the structure promises cannot happen.
     """
     if width < 2 or depth < 1:
         raise ValueError(f"need width >= 2, depth >= 1; got {width}/{depth}")
@@ -103,6 +108,9 @@ def cms_sketch(
         )
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("row", "bucket", "cnt",
+                F.lit(int(width)).alias("width"),
+                F.lit(int(depth)).alias("depth"))
     )
 
 
@@ -116,7 +124,20 @@ def cms_estimate(
     """Point-query a CMS: (probe_col, est_count) = min over hash rows of
     the probed cell. Absent cells count 0 (an empty bucket means the
     value never occurred). The probe side is broadcast (it is the small
-    query set); the sketch side is width*depth rows at most."""
+    query set); the sketch side is width*depth rows at most.
+
+    ``width``/``depth`` must match the shape the sketch was built with —
+    verified against the sketch's own shape columns with one tiny job
+    (first row of the <= width*depth-cell frame; persist the sketch if
+    you will also query it repeatedly), because a mismatched hash space
+    would silently UNDERcount, breaking the CMS guarantee."""
+    shape = sketch.select("width", "depth").limit(1).collect()
+    if shape and (shape[0]["width"] != int(width)
+                  or shape[0]["depth"] != int(depth)):
+        raise ValueError(
+            f"sketch shape {shape[0]['width']}x{shape[0]['depth']} != "
+            f"probe shape {int(width)}x{int(depth)}: estimates would "
+            "silently undercount")
     keyed = probes.select(F.col(probe_col).alias("_p")).distinct()
     rows = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row")
     pk = keyed.select("_p", rows).select(
@@ -129,7 +150,8 @@ def cms_estimate(
     )
     return (
         F.broadcast(pk)
-        .join(sketch, ["row", "bucket"], "left")
+        .join(sketch.select("row", "bucket", "cnt"), ["row", "bucket"],
+              "left")
         .groupBy("_p")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
         .select(F.col("_p").alias(probe_col),

@@ -353,6 +353,7 @@ def cooccurrence_edges(
         .limit(1).collect()
     )
     if over:
+        de.unpersist()
         raise ValueError(
             f"cooccurrence_edges: doc {over[0]._d!r} has {over[0]._n} "
             f"entities (> max_per_doc={max_per_doc}); cap or sample "
@@ -363,11 +364,15 @@ def cooccurrence_edges(
         .where(F.col("x._e") < F.col("y._e"))
         .select(F.col("x._e").alias("a"), F.col("y._e").alias("b"))
         .distinct()
+        # materialize so the persisted doc-entity frame can be released
+        # (the guard already paid its computation)
+        .localCheckpoint()
     )
+    de.unpersist()
     return edges
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, eager_cleanup: bool = True) -> DataFrame:
     """Per-node triangle participation over an undirected graph:
     (node, degree, n_triangles) — the classic cohesion census (local
     clustering numerator) over the materialized entity graph.
@@ -387,6 +392,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     degree). Three shuffle joins + one groupBy total; every triangle is
     enumerated exactly once (its (degree,id)-minimal vertex is the unique
     apex). All outputs are exact integers (hash-safe cross-engine).
+
+    ``eager_cleanup`` (default): materialize the result (localCheckpoint)
+    and release the two internal persisted frames, so repeated calls in a
+    long-lived session do not accumulate executor storage. Pass False to
+    get the lazy plan (e.g. for .explain inspection); the internal
+    persists then stay pinned for the frame's lifetime.
     """
     e = (
         edges.select(
@@ -432,7 +443,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return (
+    out = (
         deg.join(per_node, "v", "left")
         .select(
             F.col("v").alias("node"),
@@ -441,3 +452,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .cast("long").alias("n_triangles"),
         )
     )
+    if eager_cleanup:
+        out = out.localCheckpoint()
+        e.unpersist()
+        deg.unpersist()
+    return out

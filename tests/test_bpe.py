@@ -87,11 +87,11 @@ def test_bpe_matches_textbook_reference_on_adversarial_corpora(spark):
                 freqs[w] = freqs.get(w, 0) + 1
         want_merges, want_seqs = _py_bpe(freqs, rounds=3)
 
-        got = bpe.bpe_train(docs, rounds=3).collect()
+        merges_df = bpe.bpe_train(docs, rounds=3)
+        got = merges_df.collect()
         assert [(r.left_sym, r.right_sym, r.merged, r.pair_count)
                 for r in got] == want_merges, f"seed {seed}"
 
-        merges_df = bpe.bpe_train(docs, rounds=3)
         got_counts = {r.doc_id: r.n_tokens
                       for r in bpe.bpe_encode(docs, merges_df).collect()}
         want_counts = {
@@ -106,7 +106,22 @@ def test_bpe_encode_counts(spark):
         [(0, "aaaa ab"), (1, "b aaaa aaaa")], "doc_id long, text string")
     merges = bpe.bpe_train(docs, rounds=2)  # learns (a,a)->aa, (aa,aa)->aaaa
     got = {r.doc_id: r.n_tokens
-           for r in bpe.bpe_encode(docs, merges, rounds=2).collect()}
+           for r in bpe.bpe_encode(docs, merges).collect()}
     # doc0: 'aaaa'->[aaaa](1) + 'ab'->[a,b](2) = 3
     # doc1: 'b'(1) + 'aaaa'(1) + 'aaaa'(1) = 3
     assert got == {0: 3, 1: 3}
+
+
+def test_bpe_train_early_stop_and_encode_survives(spark):
+    # pairs exhaust after round 1 ('ab' fully merged); asking for 3 rounds
+    # must return 1 merge row, and encode must still count every doc —
+    # including the whitespace-only doc at n_tokens=0
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, "ab"), (2, "   ")], "doc_id long, text string")
+    merges = bpe.bpe_train(docs, rounds=3)
+    rows = merges.collect()
+    assert [(r.round, r.left_sym, r.right_sym) for r in rows] \
+        == [(1, "a", "b")]
+    got = {r.doc_id: r.n_tokens
+           for r in bpe.bpe_encode(docs, merges).collect()}
+    assert got == {0: 2, 1: 1, 2: 0}

@@ -246,7 +246,9 @@ def test_triangle_counts_no_cartesian_all_jvm(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
         "a string, b string")
-    plan = plan_of(triangle_counts(edges))
+    # eager_cleanup=False: inspect the LAZY join plan (the default
+    # localCheckpoints the result, which would hide the joins)
+    plan = plan_of(triangle_counts(edges, eager_cleanup=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan

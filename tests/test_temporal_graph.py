@@ -229,7 +229,9 @@ def test_cms_mergeable_across_shards(spark):
     merged = (
         cms_sketch(df.where("i < 20"), "v", width=32, depth=2)
         .unionByName(cms_sketch(df.where("i >= 20"), "v", width=32, depth=2))
-        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+        .groupBy("row", "bucket", "width", "depth")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("row", "bucket", "cnt", "width", "depth")
     )
     assert sorted(map(tuple, whole.collect())) \
         == sorted(map(tuple, merged.collect()))
@@ -237,8 +239,14 @@ def test_cms_mergeable_across_shards(spark):
 
 def test_cms_rejects_bad_shape(spark):
     import pytest
-    from fonduer_spark.functions.sketches import cms_sketch
+    from fonduer_spark.functions.sketches import cms_estimate, cms_sketch
 
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError, match="width"):
         cms_sketch(df, "v", width=1, depth=0)
+    # probing with a different hash space would silently undercount —
+    # the sketch carries its shape and the estimate must refuse
+    sk = cms_sketch(df, "v", width=64, depth=3)
+    probes = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="undercount"):
+        cms_estimate(sk, probes, "v", width=32, depth=3)
