@@ -2866,6 +2866,65 @@ WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
 
 
+def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quantiles (percentile_disc semantics) per group:
+    p50/p90/p99 of l_quantity by return flag, selected by INTEGER rank
+    arithmetic — rank ceil(p*n) computed as (p_num*n + p_den-1) div p_den
+    over a value-ordered window, never float interpolation (Spark's
+    `percentile` and DuckDB's quantile_cont interpolate with doubles,
+    which is exactly the cross-engine float hazard the integer form
+    avoids). One shuffle on the group key; the k-th value is well-defined
+    under ties because ordering is by value."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q"))
+    w = Window.partitionBy("l_returnflag").orderBy("q")
+    ranked = li.select(
+        "l_returnflag", "q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    pick = (
+        ranked.select(
+            "l_returnflag", "q", "n",
+            *[
+                (F.col("rn") == F.expr(f"({num} * n + {den - 1}) div {den}"))
+                .alias(f"is_p{name}")
+                for name, num, den in
+                (("50", 1, 2), ("90", 9, 10), ("99", 99, 100))
+            ],
+        )
+    )
+    return (
+        pick.groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.max(F.when(F.col("is_p50"), F.col("q"))).alias("p50"),
+            F.max(F.when(F.col("is_p90"), F.col("q"))).alias("p90"),
+            F.max(F.when(F.col("is_p99"), F.col("q"))).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_REL_QUANTILES_SQL = """
+WITH r AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       max(CASE WHEN rn = (1 * n + 1) // 2 THEN q END) AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN q END) AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN q END) AS p99
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_rel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -4198,6 +4257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join": q_rel_join,
         "rel_filter_agg": q_rel_filter_agg,
         "rel_window": q_rel_window,
+        "rel_quantiles": q_rel_quantiles,
         "rel_setop": q_rel_setop,
         "rel_events_window": q_rel_events_window,
         "rel_topk": q_rel_topk,
@@ -4293,6 +4353,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_join": _REL_JOIN_SQL,
         "rel_filter_agg": _REL_FILTER_AGG_SQL,
         "rel_window": _REL_WINDOW_SQL,
+        "rel_quantiles": _REL_QUANTILES_SQL,
         "rel_setop": _REL_SETOP_SQL,
         "rel_events_window": _REL_EVENTS_SQL,
         "rel_topk": _REL_TOPK_SQL,
