@@ -39,6 +39,7 @@ from fonduer_spark.functions import sketches as sk
 from fonduer_spark.functions import textstats as ts
 from fonduer_spark.functions import temporal as tmpf
 from fonduer_spark.linking import pagerank
+from fonduer_spark.triples import normalize_surface
 from fonduer_spark.pipeline import kg_stages
 
 
@@ -3971,6 +3972,124 @@ ORDER BY node
 """
 
 
+# Gold (part -> temp) edge CTEs shared by the neighborhood-function
+# oracles — identical formulas to _kg_pagerank_sql's edge rebuild; the
+# {doc_filter} slot subsamples docs for the exact variant (exact h-hop
+# expansion is Theta(sum deg^h), so the exact query runs on a
+# deterministic 1-in-20 doc subset while the KMV sketch variant takes the
+# FULL graph — that asymmetry IS the operator's scale story).
+_GOLD_EDGE_CTES = """
+docs AS (SELECT doc_id AS i FROM documents{doc_filter}),
+tabs AS (
+  SELECT i, unnest(range(0, 1 + (i % 2) + CASE WHEN i % 50 = 0 THEN 6 ELSE 0 END)) AS t
+  FROM docs
+),
+cells AS (SELECT i, t, unnest(range(0, 3 + ((i + t) % 3))) AS r FROM tabs),
+edges AS (
+  SELECT DISTINCT
+    'PN' || CAST((i*17 + t*5 + r*3) % 900 + 100 AS VARCHAR)
+         || chr(CAST(65 + ((i + r) % 3) AS INTEGER)) AS src,
+    CAST(85 + ((i*3 + r*7) % 60) AS VARCHAR) AS dst
+  FROM cells
+),
+sym AS (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM edges WHERE src <> dst
+)"""
+
+
+def _kg_edge_pairs(spark: SparkSession, sf_dir: str, every: int = 0):
+    """Asserted (src, dst) entity pairs from the scored candidate frame at
+    prob >= 0.5 (the same edge set materialize_triples keeps — max(prob)
+    >= t over a group iff any member >= t); ``every`` > 0 keeps only docs
+    whose id is a multiple (deterministic subsample, replayed by the
+    oracle's doc_filter)."""
+    scored = kg_stages(spark, sf_dir)["scored"]
+    kept = scored.where(F.col("prob") >= 0.5)
+    if every:
+        doc_i = F.expr("try_cast(substr(url, -6) as int)")
+        kept = kept.where(doc_i % int(every) == 0)
+    return kept.select(
+        normalize_surface(F.col("a_span_text")).alias("src"),
+        normalize_surface(F.col("b_span_text")).alias("dst"),
+    )
+
+
+def q_kg_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 2-hop neighborhood census over the extracted entity graph
+    (linking.neighborhood_counts): per node, degree and #distinct nodes
+    within 2 hops — on a deterministic 1-in-20 doc subsample, because
+    exact h-hop expansion is Theta(sum deg^h) and the operator HARD-FAILS
+    on hubs rather than hiding the blow-up (max_degree guard). The oracle
+    rebuilds the gold edges for the same doc subset and replays the
+    symmetric self-join + distinct-union reach count."""
+    from fonduer_spark.linking import neighborhood_counts
+
+    pairs = _kg_edge_pairs(spark, sf_dir, every=20)
+    return neighborhood_counts(pairs, hops=2).orderBy("node")
+
+
+_KG_2HOP_SQL = f"""
+WITH {_GOLD_EDGE_CTES.format(doc_filter=" WHERE doc_id % 20 = 0")},
+deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src),
+hop2 AS (
+  SELECT DISTINCT f.src AS src, s.dst AS dst
+  FROM sym f JOIN sym s ON f.dst = s.src
+  WHERE f.src <> s.dst
+),
+reach AS (SELECT src, dst FROM sym UNION SELECT src, dst FROM hop2),
+cnt AS (SELECT src, count(*) AS n_reach FROM reach GROUP BY src)
+SELECT c.src AS node,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(c.n_reach AS BIGINT) AS n_reach
+FROM cnt c JOIN deg d ON d.src = c.src
+ORDER BY node
+"""
+
+
+def q_kg_2hop_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched 2-hop neighborhood sizes on the FULL entity graph — the
+    ANF/HyperBall scale path (linking.neighborhood_kmv): per-node
+    bottom-64 KMV sketches of md5 neighbor hashes, merged one hop via a
+    single |E|-linear join (NO dependence on hub degree — the reason the
+    sketch family exists), re-estimated with the exact-integer
+    (k-1)*2^32 div h_k rule. Deterministic end-to-end, so the oracle
+    replays every estimate bit-for-bit."""
+    from fonduer_spark.linking import neighborhood_kmv
+
+    pairs = _kg_edge_pairs(spark, sf_dir)
+    return neighborhood_kmv(pairs, k=64).orderBy("node")
+
+
+def _kg_2hop_kmv_sql() -> str:
+    h_dst = _duck_hex8("md5(dst)", 1)
+    h_self = _duck_hex8("md5(src)", 1)
+    return f"""
+WITH {_GOLD_EDGE_CTES.format(doc_filter="")},
+nh AS (SELECT DISTINCT src, {h_dst} AS h FROM sym),
+sk1 AS (
+  SELECT src, h FROM (
+    SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+    FROM nh
+  ) WHERE rn <= 64
+),
+pulled AS (SELECT e.src AS src, m.h AS h FROM sym e JOIN sk1 m ON m.src = e.dst),
+merged AS (
+  SELECT src, h,
+         row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+  FROM (SELECT src, h FROM sk1 UNION SELECT src, h FROM pulled)
+  WHERE h <> {h_self}
+),
+agg AS (SELECT src, count(*) AS n, max(h) AS hk FROM merged WHERE rn <= 64 GROUP BY src)
+SELECT src AS node,
+       CAST(CASE WHEN n < 64 THEN n
+                 ELSE (63 * 4294967296) // greatest(hk, 1) END AS BIGINT)
+         AS n_2hop_est
+FROM agg ORDER BY node
+"""
+
+
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions/bpe.py): one
     corpus-wide word-frequency census, then 3 merge rounds over the
@@ -4205,6 +4324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quality": q_kg_quality,
         "kg_pagerank": q_kg_pagerank,
         "kg_cooccur_triangles": q_kg_cooccur_triangles,
+        "kg_2hop": q_kg_2hop,
+        "kg_2hop_kmv": q_kg_2hop_kmv,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -4371,6 +4492,8 @@ def oracle_sql() -> dict[str, str]:
         "text_distinct_kmv": _TEXT_DISTINCT_KMV_SQL,
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_cooccur_triangles": _KG_COOCCUR_TRIANGLES_SQL,
+        "kg_2hop": _KG_2HOP_SQL,
+        "kg_2hop_kmv": _kg_2hop_kmv_sql(),
         "text_bpe_train": _text_bpe_train_sql(),
         "text_bpe_encode": _text_bpe_encode_sql(),
     }

@@ -457,3 +457,147 @@ def triangle_counts(edges: DataFrame, eager_cleanup: bool = True) -> DataFrame:
         e.unpersist()
         deg.unpersist()
     return out
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected edge list -> both directions, self-loops dropped,
+    deduplicated: columns (src, dst). Accepts either ('a','b') or
+    ('src','dst') input naming."""
+    cols = edges.columns
+    a, b = ("a", "b") if "a" in cols and "b" in cols else ("src", "dst")
+    e = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    return (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+def neighborhood_counts(
+    edges: DataFrame,
+    hops: int = 2,
+    max_degree: int = 10_000,
+) -> DataFrame:
+    """EXACT neighborhood function per node over an undirected graph:
+    (node, degree, n_reach) where n_reach = #distinct nodes within
+    ``hops`` hops (self excluded) — the classic KG locality census
+    (how much of the graph an entity touches in h steps).
+
+    Shape: ``hops - 1`` self-joins of the frontier against the
+    symmetrized edge list, each followed by distinct (so the frontier
+    never exceeds reachable-pairs), then one groupBy count. All outputs
+    exact integers — hash-safe cross-engine.
+
+    Scale: exact h-hop expansion is Theta(sum_v deg(v)^h) pairs — a
+    single 10^6-degree hub at web scale emits 10^12 wedges, so
+    ``max_degree`` HARD-FAILS on hubs instead of silently creating the
+    curse-of-the-last-reducer partition (same contract as
+    cooccurrence_edges). The 100 TB path for unbounded graphs is the
+    sketch variant :func:`neighborhood_kmv` (ANF / HyperBall family:
+    Palmer et al. KDD'02, Boldi et al. WWW'11 — neighborhood sizes via
+    mergeable cardinality sketches, O(|E| * k) work per hop, no hub
+    blow-up).
+    """
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    sym = _symmetrize(edges).persist()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    over = deg.where(F.col("degree") > int(max_degree)).limit(1).collect()
+    if over:
+        sym.unpersist()
+        raise ValueError(
+            f"neighborhood_counts: node {over[0].src!r} has degree "
+            f"{over[0].degree} (> max_degree={max_degree}); exact h-hop "
+            "expansion would blow up on this hub — cap upstream or use "
+            "neighborhood_kmv (the sketch scale path)")
+    frontier = sym
+    reach = sym
+    for _ in range(int(hops) - 1):
+        frontier = (
+            frontier.alias("f")
+            .join(sym.alias("s"), F.col("f.dst") == F.col("s.src"))
+            .select(F.col("f.src").alias("src"), F.col("s.dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        reach = reach.unionByName(frontier).distinct()
+    out = (
+        reach.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_reach"))
+        .join(deg, "src")
+        .select(
+            F.col("src").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_reach").cast("long").alias("n_reach"),
+        )
+        .localCheckpoint()
+    )
+    sym.unpersist()
+    return out
+
+
+def neighborhood_kmv(
+    edges: DataFrame,
+    k: int = 64,
+) -> DataFrame:
+    """Sketched 2-hop neighborhood sizes — the ANF/HyperBall pattern
+    (per-node mergeable cardinality sketch, propagated one hop per
+    round) with the package's deterministic KMV bottom-k sketch instead
+    of HyperLogLog, so the DuckDB oracle replays every estimate
+    bit-for-bit: (node, n_2hop_est), self excluded, exact below k.
+
+    Round 1 builds each node's bottom-k sketch of 32-bit md5 neighbor
+    hashes; round 2 merges each node's own sketch with its neighbors'
+    sketches (KMV closure: bottom-k(union of bottom-k's) == bottom-k of
+    the union, so the merged sketch is a TRUE sketch of the exact <=2-hop
+    set) and re-estimates with the standard (k-1) * 2**32 div h_k rule.
+
+    Scale: O(|E| * k) rows per propagation round — linear in edges, NO
+    dependence on hub degree (the reason ANF exists); one more
+    round == one more hop. groupBy/window shuffles only; all arithmetic
+    integer."""
+    from .functions.sketches import _SPACE, _hash32
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    sym = _symmetrize(edges).persist()
+    nh = sym.select(
+        "src", _hash32(F.col("dst")).alias("_h")).distinct()
+    w = Window.partitionBy("src").orderBy("_h")
+    sk1 = (
+        nh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .select("src", "_h")
+        .persist()
+    )
+    pulled = (
+        sym.alias("e")
+        .join(sk1.alias("m"), F.col("e.dst") == F.col("m.src"))
+        .select(F.col("e.src").alias("src"), F.col("m._h").alias("_h"))
+    )
+    merged = (
+        sk1.unionByName(pulled)
+        .where(F.col("_h") != _hash32(F.col("src")))  # self excluded
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+    )
+    out = (
+        merged.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_hk"))
+        .select(
+            F.col("src").alias("node"),
+            F.when(F.col("_n") < int(k), F.col("_n"))
+            .otherwise(F.expr(
+                f"{int(k - 1)} * {_SPACE}L div greatest(_hk, 1L)"))
+            .cast("long").alias("n_2hop_est"),
+        )
+        .localCheckpoint()
+    )
+    sym.unpersist()
+    sk1.unpersist()
+    return out

@@ -129,3 +129,79 @@ def test_cooccurrence_edges_and_guard(spark):
     assert got == {("x", "y"), ("y", "z")}
     with pytest.raises(ValueError, match="max_per_doc"):
         cooccurrence_edges(de, max_per_doc=1)
+
+
+def test_neighborhood_counts_path_star(spark):
+    from fonduer_spark.linking import neighborhood_counts
+
+    # path a-b-c-d-e (+ dup edge + self loop dropped)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+         ("b", "a"), ("c", "c")],
+        "a string, b string")
+    got = {r.node: (r.degree, r.n_reach)
+           for r in neighborhood_counts(edges, hops=2).collect()}
+    assert got == {
+        "a": (1, 2),  # b, c
+        "b": (2, 3),  # a, c, d
+        "c": (2, 4),  # b, d, a, e
+        "d": (2, 3),  # c, e, b
+        "e": (1, 2),  # d, c
+    }
+    # hops=1 degenerates to degree
+    got1 = {r.node: r.n_reach
+            for r in neighborhood_counts(edges, hops=1).collect()}
+    assert got1 == {"a": 1, "b": 2, "c": 2, "d": 2, "e": 1}
+    # star: hub sees k leaves at 1 hop; each leaf sees hub + other leaves
+    star = spark.createDataFrame(
+        [("hub", f"l{i}") for i in range(5)], "a string, b string")
+    gs = {r.node: r.n_reach
+          for r in neighborhood_counts(star, hops=2).collect()}
+    assert gs["hub"] == 5 and all(gs[f"l{i}"] == 5 for i in range(5))
+
+
+def test_neighborhood_counts_hub_guard(spark):
+    from fonduer_spark.linking import neighborhood_counts
+
+    star = spark.createDataFrame(
+        [("hub", f"l{i}") for i in range(6)], "a string, b string")
+    with pytest.raises(ValueError, match="max_degree"):
+        neighborhood_counts(star, hops=2, max_degree=5)
+    with pytest.raises(ValueError, match="hops"):
+        neighborhood_counts(star, hops=0)
+
+
+def test_neighborhood_kmv_exact_below_k(spark):
+    from fonduer_spark.linking import neighborhood_counts, neighborhood_kmv
+
+    # below the sketch capacity the KMV estimate IS the exact 2-hop count
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a"),
+         ("c", "f")],
+        "a string, b string")
+    exact = {r.node: r.n_reach
+             for r in neighborhood_counts(edges, hops=2).collect()}
+    est = {r.node: r.n_2hop_est
+           for r in neighborhood_kmv(edges, k=64).collect()}
+    assert est == exact
+    with pytest.raises(ValueError, match="k must be"):
+        neighborhood_kmv(edges, k=1)
+
+
+def test_neighborhood_kmv_estimates_above_k(spark):
+    from fonduer_spark.linking import neighborhood_counts, neighborhood_kmv
+
+    # two hubs sharing all leaves: every node's 2-hop set is the other
+    # 101 nodes — far above k=16, so the estimator branch must engage
+    # and land within the ~1/sqrt(k-2) relative-error envelope
+    edges = spark.createDataFrame(
+        [(h, f"l{i}") for h in ("h1", "h2") for i in range(100)],
+        "a string, b string")
+    exact = {r.node: r.n_reach
+             for r in neighborhood_counts(edges, hops=2).collect()}
+    est = {r.node: r.n_2hop_est
+           for r in neighborhood_kmv(edges, k=16).collect()}
+    assert set(est) == set(exact)
+    assert all(v == 101 for v in exact.values())
+    for node, e in est.items():
+        assert 0.4 * exact[node] <= e <= 2.5 * exact[node], (node, e)
