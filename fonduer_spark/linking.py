@@ -542,6 +542,7 @@ def neighborhood_counts(
 def neighborhood_kmv(
     edges: DataFrame,
     k: int = 64,
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Sketched 2-hop neighborhood sizes — the ANF/HyperBall pattern
     (per-node mergeable cardinality sketch, propagated one hop per
@@ -558,7 +559,11 @@ def neighborhood_kmv(
     Scale: O(|E| * k) rows per propagation round — linear in edges, NO
     dependence on hub degree (the reason ANF exists); one more
     round == one more hop. groupBy/window shuffles only; all arithmetic
-    integer."""
+    integer.
+
+    ``eager_cleanup`` (default): materialize (localCheckpoint) and release
+    the internal persisted frames — same contract as triangle_counts.
+    Pass False to get the lazy plan for .explain inspection."""
     from .functions.sketches import _SPACE, _hash32
     from pyspark.sql import Window
 
@@ -596,8 +601,9 @@ def neighborhood_kmv(
                 f"{int(k - 1)} * {_SPACE}L div greatest(_hk, 1L)"))
             .cast("long").alias("n_2hop_est"),
         )
-        .localCheckpoint()
     )
-    sym.unpersist()
-    sk1.unpersist()
+    if eager_cleanup:
+        out = out.localCheckpoint()
+        sym.unpersist()
+        sk1.unpersist()
     return out

@@ -267,3 +267,18 @@ def test_bpe_rounds_never_rescan_corpus(spark):
     plan = plan_of(merges)
     assert "Scan parquet" not in plan and "FileScan" not in plan
     assert merges.count() == 2
+
+
+def test_neighborhood_kmv_no_cartesian_all_jvm(spark):
+    """The ANF sketch path must plan as equi-joins only (|E|-linear sketch
+    pull — a CartesianProduct or nested-loop join would be the all-pairs
+    scale-killer the sketch family exists to avoid) and stay JVM-side."""
+    from fonduer_spark.linking import neighborhood_kmv
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "a string, b string")
+    plan = plan_of(neighborhood_kmv(edges, k=8, eager_cleanup=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
