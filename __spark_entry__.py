@@ -2131,6 +2131,91 @@ FROM s ORDER BY pr, doc_id LIMIT 200
 """
 
 
+def q_text_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-per-stratum quota sampling (sampling.quota_sample): keep
+    exactly min(20, |lang|) documents per language, ranked by
+    md5(doc_id || salt) — the corpus-mixing step when the mixture is
+    specified as COUNTS, not Bernoulli rates. The 100 TB shape is the
+    two-phase distributed top-k (per-(stratum, hash-bucket) rank, then
+    rank the <= k*n_buckets survivors), which is provably equal to the
+    oracle's single global row_number() per stratum — so the kept set
+    AND each quota_rank replay exactly."""
+    from fonduer_spark.functions.sampling import quota_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        quota_sample(d, "lang", k=20, salt="bench-quota", n_buckets=8)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "lang", "quota_rank")
+        .orderBy("lang", "quota_rank")
+    )
+
+
+_TEXT_SAMPLE_QUOTA_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(rn AS INTEGER) AS quota_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':bench-quota'), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+ORDER BY lang, quota_rank
+"""
+
+
+def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling census (functions/profiling.py): per
+    column of lineitem, row/null counts, EXACT distinct cardinality,
+    total canonical-string length, and lexicographic bounds — the
+    "profile before you train" ingest step. The plan is ONE scan + a
+    two-level aggregation (map-side partial agg collapses to distinct
+    (column, value) pairs before any shuffle; no Catalyst Expand from
+    multi-countDistinct, no per-column job loop — plan-asserted).
+    l_shipdate is pre-cast to DATE so its canonical string form is
+    engine-independent."""
+    from fonduer_spark.functions.profiling import profile_columns
+
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_shipdate"]
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        F.to_date("l_shipdate").cast("string").alias("l_shipdate"))
+    return profile_columns(li, cols).orderBy("col_name")
+
+
+_REL_PROFILE_SQL = """
+WITH m AS (
+  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS val
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', l_returnflag FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+  FROM lineitem
+)
+SELECT col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN 1 END), 0) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(SUM(CASE WHEN val IS NOT NULL THEN LENGTH(val) END),
+                     0) AS BIGINT) AS sum_len,
+       MIN(val) AS lex_min,
+       MAX(val) AS lex_max
+FROM m
+GROUP BY col_name
+ORDER BY col_name
+"""
+
+
 def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing
     (sampling.pack_token_stream): every document's global token start
@@ -4350,6 +4435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_sample": q_text_sample,
         "text_sample_priority": q_text_sample_priority,
+        "text_sample_quota": q_text_sample_quota,
+        "rel_profile": q_rel_profile,
         "text_cms_counts": q_text_cms_counts,
         "text_pack": q_text_pack,
         "text_substring_dedup": q_text_substring_dedup,
@@ -4451,6 +4538,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pii": _TEXT_PII_SQL,
         "text_sample": _TEXT_SAMPLE_SQL,
         "text_sample_priority": _TEXT_SAMPLE_PRIORITY_SQL,
+        "text_sample_quota": _TEXT_SAMPLE_QUOTA_SQL,
+        "rel_profile": _REL_PROFILE_SQL,
         "text_cms_counts": _text_cms_counts_sql(),
         "text_pack": _TEXT_PACK_SQL,
         "text_substring_dedup": _TEXT_SUBSTRING_DEDUP_SQL,

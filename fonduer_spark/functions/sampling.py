@@ -313,3 +313,57 @@ def priority_sample(
         .where(F.col("rank") <= int(k))
         .select(F.col(strata_col), *base_cols, F.col("rank"))
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    salt: str = "quota",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact k-per-stratum deterministic sample (quota / balanced
+    sampling) — the corpus-mixing step when the mixture is specified as
+    COUNTS, not rates ("exactly 1M docs per language"), so Bernoulli
+    ``stratified_sample`` cannot express it.
+
+    Rank = md5(id || ':' || salt) ascending, ties broken by id: the kept
+    set and each row's ``quota_rank`` are independent of engine,
+    partitioning, and rerun, and one SQL row_number() replays them —
+    per stratum the output is exactly min(k, |stratum|) rows.
+
+    Scale design: a single row_number() window per stratum sorts the
+    WHOLE stratum inside one task — a 10-billion-row 'en' stratum would
+    pin one executor. Instead the classic two-phase distributed top-k:
+    phase 1 ranks within (stratum, hash-bucket) and keeps k survivors
+    per bucket (each sort bounded to ~1/n_buckets of the stratum);
+    phase 2 ranks the <= k * n_buckets survivors per stratum. The global
+    per-stratum top-k is always a subset of the per-bucket top-ks, so
+    the two-phase result is EXACT, and no Exchange SinglePartition ever
+    appears in the plan (plan-asserted in tests).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    # bucket from a DIFFERENT md5 slice than the rank prefix, so bucket
+    # membership is independent of rank order within the stratum
+    bucket = F.pmod(
+        F.conv(F.substring(key, 9, 6), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+    w1 = Window.partitionBy(strata_col, "_qbucket").orderBy(
+        F.asc("_qkey"), F.asc(id_col))
+    w2 = Window.partitionBy(strata_col).orderBy(
+        F.asc("_qkey"), F.asc(id_col))
+    return (
+        df.withColumn("_qkey", key)
+        .withColumn("_qbucket", bucket)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= int(k))
+        .withColumn("quota_rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("quota_rank") <= int(k))
+        .drop("_qkey", "_qbucket", "_rn1")
+    )

@@ -224,3 +224,57 @@ def test_priority_sample_strata_and_guards(spark):
                               "doc_id long, w long")
     kept = priority_sample(z, "w", k=10).collect()
     assert [r.doc_id for r in kept] == [3]
+
+
+def test_quota_sample_exact_k_per_stratum(spark):
+    from fonduer_spark.functions.sampling import quota_sample
+
+    d = docs(spark)  # 400 docs, langs en/de/fr round-robin (~133 each)
+    out = quota_sample(d, "lang", k=10, salt="q1").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == {"en", "de", "fr"}
+    # exactly k per stratum, ranks 1..k, and the kept set is the python
+    # ground truth: smallest md5(id || ':' || salt) per language
+    for lang, rows in by_lang.items():
+        assert sorted(r.quota_rank for r in rows) == list(range(1, 11))
+        ids = [i for i in range(400) if ["en", "de", "fr"][i % 3] == lang]
+        key = lambda i: (hashlib.md5(f"{i}:q1".encode()).hexdigest(), i)
+        want = sorted(sorted(ids, key=key)[:10])
+        assert sorted(r.doc_id for r in rows) == want
+        # ranks follow the hash order exactly
+        ranked = sorted(rows, key=lambda r: r.quota_rank)
+        assert [r.doc_id for r in ranked] == sorted(ids, key=key)[:10]
+
+
+def test_quota_sample_small_stratum_and_stability(spark):
+    from fonduer_spark.functions.sampling import quota_sample
+
+    d = docs(spark, n=30)  # 10 docs per lang
+    out = quota_sample(d, "lang", k=25, salt="q2").collect()
+    # k > |stratum| degenerates to keeping the whole stratum
+    assert len(out) == 30
+    assert {r.quota_rank for r in out if r.lang == "en"} == set(range(1, 11))
+    # partitioning/bucketing-independent kept set and ranks
+    big = docs(spark)
+    a = sorted((r.lang, r.quota_rank, r.doc_id) for r in
+               quota_sample(big, "lang", k=7, salt="q3").collect())
+    b = sorted((r.lang, r.quota_rank, r.doc_id) for r in
+               quota_sample(big.repartition(13), "lang", k=7, salt="q3",
+                            n_buckets=3).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="k must"):
+        quota_sample(big, "lang", k=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        quota_sample(big, "lang", k=1, n_buckets=0)
+
+
+def test_quota_sample_plan_has_no_global_window(spark):
+    from fonduer_spark.functions.sampling import quota_sample
+
+    plan = quota_sample(docs(spark), "lang", k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # both rank phases partition by at least the stratum key — the
+    # whole-corpus single-partition sort never appears
+    assert "Exchange SinglePartition" not in plan
