@@ -4371,6 +4371,225 @@ FROM r WHERE rank <= 3 ORDER BY src, rank
 """
 
 
+def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized maximum-inner-product top-k
+    (similarity.quantized_topk): per-vector symmetric scalar quantization
+    (scale = max|v|/127, codes = floor(v*127/max|v|)) then top-k by the
+    rescaled int64 code dot — the 4x-compressed index path. floor (not
+    round) and integer dots make every rank and 6-decimal score
+    bit-reproducible in the DuckDB oracle."""
+    return sim.quantized_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "qscore",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_QZ_CODES = """
+codes AS (
+  SELECT vec_id, maxabs,
+         CASE WHEN maxabs = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(
+                     v, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))
+         END AS c
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS maxabs
+        FROM e)
+)"""
+
+_SIM_QUANTIZED_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_QZ_CODES},
+q AS (SELECT vec_id AS query_id, c AS qc, maxabs AS qm FROM codes
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         CAST({_duck_dot('q.qc', 'n.c')} AS DOUBLE)
+           * (q.qm / 127.0) * (n.maxabs / 127.0) AS s
+  FROM q, codes n WHERE n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY s DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       round(s, 6) AS qscore, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_text_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (sketches.bloom_build/bloom_contains): the
+    bounded-memory seen-set for 10^12-row streams. Build a 1024-bit bitmap
+    (packed int64 words, ONE map-side-combinable bit_or groupBy) over the
+    tokens of even-numbered documents, probe the distinct tokens of odd
+    documents — member = 1 has no false negatives and a measurable
+    false-positive share; the oracle replays every decision via
+    distinct-position membership (bit (w, b) set <=> some inserted token
+    hashed to position 64w + b), with the same Kirsch-Mitzenmacher
+    double-hash positions as the minhash_km family."""
+    docs = _docs(spark, sf_dir)
+
+    def toks(side: DataFrame) -> DataFrame:
+        return side.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            .alias("tok")
+        ).where(F.length("tok") > 0)
+
+    ins = toks(docs.where(F.col("doc_id") % 2 == 0))
+    probes = toks(docs.where(F.col("doc_id") % 2 == 1))
+    bm = sk.bloom_build(ins, "tok", m=1024, k_hashes=3)
+    return sk.bloom_contains(bm, probes, "tok", m=1024, k_hashes=3).orderBy(
+        "tok")
+
+
+def _bloom_pos_sql(h: str, m: int) -> str:
+    return (f"({_duck_hex8(h, 1)} + j * {_duck_hex8(h, 9)}) % {int(m)}")
+
+
+_TEXT_BLOOM_SQL = f"""
+WITH it AS (
+  SELECT unnest({_DD_TOKS}) AS tok FROM documents WHERE doc_id % 2 = 0
+),
+ih AS (SELECT DISTINCT tok, md5(tok) AS h FROM it WHERE length(tok) > 0),
+ipos AS (
+  SELECT DISTINCT {_bloom_pos_sql('h', 1024)} AS pos
+  FROM ih CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+pt AS (
+  SELECT unnest({_DD_TOKS}) AS tok FROM documents WHERE doc_id % 2 = 1
+),
+ph AS (SELECT DISTINCT tok, md5(tok) AS h FROM pt WHERE length(tok) > 0),
+ppos AS (
+  SELECT tok, {_bloom_pos_sql('h', 1024)} AS pos
+  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+)
+SELECT tok,
+       CAST(min(CASE WHEN pos IN (SELECT pos FROM ipos) THEN 1 ELSE 0 END)
+            AS INTEGER) AS member
+FROM ppos GROUP BY tok ORDER BY tok
+"""
+
+
+def q_text_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split (sampling.leakage_safe_split):
+    near-dup clusters never straddle the split — the whole cluster
+    inherits ONE deterministic Bernoulli decision keyed on its canonical
+    id (md5 threshold, the text_sample rule), so a held-out doc can never
+    have a near-twin in train. Composes the full dedup_keep chain
+    (MinHash-LSH pairs -> Jaccard verify -> connected components); the
+    oracle replays it with the recursive-CTE closure + the same md5
+    threshold on COALESCE(canonical, doc_id)."""
+    from fonduer_spark.functions import sampling as sp
+
+    return sp.leakage_safe_split(
+        _docs(spark, sf_dir), frac_train=0.8, salt="bench",
+        k=16, bands=8, shingle_n=3, threshold=0.1,
+    ).orderBy("doc_id")
+
+
+_SPLIT_KEY = "COALESCE(comp.canonical, d.doc_id)"
+_TEXT_SPLIT_LEAKFREE_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS doc, {_DD_SHINGLES3} AS shingles FROM documents
+),
+sig AS (SELECT doc, {_LSH_SIG_COLS} FROM sh),
+keyed AS (SELECT doc, unnest([{_LSH_BAND_KEYS}]) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM keyed x JOIN keyed y USING (bk) WHERE x.doc < y.doc
+),
+e AS (
+  SELECT a, b FROM cand
+  JOIN sh sa ON sa.doc = a JOIN sh sb ON sb.doc = b
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
+        (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.1
+),
+verts AS (SELECT a AS x FROM e UNION SELECT b FROM e),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+reach AS (
+  SELECT x AS v, x AS c FROM verts
+  UNION
+  SELECT s.b AS v, r.c AS c FROM reach r JOIN sym s ON s.a = r.v
+),
+comp AS (SELECT v, min(c) AS canonical FROM reach GROUP BY v)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST({_SPLIT_KEY} AS BIGINT) AS split_key,
+       CASE WHEN {_duck_hex8(
+           f"md5(CAST({_SPLIT_KEY} AS VARCHAR) || ':bench')", 1)}
+              / 4294967296.0 < CAST(0.8 AS DOUBLE)
+            THEN 'train' ELSE 'holdout' END AS split
+FROM documents d LEFT JOIN comp ON comp.v = d.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_kg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop shortest-path distances from a seed entity set over
+    the extracted entity graph (linking.bfs_distances): frontier BFS, one
+    shuffle join + one settled-set anti-join per hop — k bounded rounds
+    regardless of graph size. Same 1-in-20 doc subsample and symmetrized
+    gold edge set as kg_2hop; the oracle replays it with a depth-bounded
+    recursive CTE + min(d) per node."""
+    from fonduer_spark.linking import bfs_distances
+
+    pairs = _kg_edge_pairs(spark, sf_dir, every=20)
+    e = pairs.where(F.col("src") != F.col("dst")).distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return bfs_distances(sym, ["85", "90", "95"], max_hops=3).select(
+        "node", F.col("dist").cast("long").alias("dist")).orderBy("node")
+
+
+_KG_SHORTEST_PATHS_SQL = f"""
+WITH RECURSIVE {_GOLD_EDGE_CTES.format(doc_filter=" WHERE doc_id % 20 = 0")},
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach AS (
+  SELECT node, 0 AS d FROM nodes WHERE node IN ('85', '90', '95')
+  UNION
+  SELECT s.dst AS node, r.d + 1 AS d
+  FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.d < 3
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def q_mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup over the media payload column
+    (multimodal.media_dedup_exact): content key = md5 of the payload
+    BYTES (no decode, any modality), canonical = smallest media_id per
+    content group, per-row keep decisions. The oracle hashes the same
+    utf-8 bytes via md5(text)."""
+    media = mm.media_from_docs(_docs(spark, sf_dir))
+    return mm.media_dedup_exact(media).orderBy("media_id")
+
+
+_MM_DEDUP_SQL = """
+WITH keyed AS (
+  SELECT doc_id AS media_id, md5(text) AS content_key FROM documents
+),
+groups AS (
+  SELECT content_key, min(media_id) AS canonical, count(*) AS n_copies
+  FROM keyed GROUP BY content_key
+)
+SELECT CAST(k.media_id AS BIGINT) AS media_id, k.content_key,
+       CAST(g.canonical AS BIGINT) AS canonical,
+       CAST(g.n_copies AS BIGINT) AS n_copies,
+       CAST(CASE WHEN k.media_id = g.canonical THEN 1 ELSE 0 END AS INTEGER)
+         AS kept
+FROM keyed k JOIN groups g USING (content_key)
+ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4411,6 +4630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccur_triangles": q_kg_cooccur_triangles,
         "kg_2hop": q_kg_2hop,
         "kg_2hop_kmv": q_kg_2hop_kmv,
+        "kg_shortest_paths": q_kg_shortest_paths,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -4456,10 +4676,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_kmeans": q_sim_ann_ivf_kmeans,
         "sim_knn_graph": q_sim_knn_graph,
         "sim_clusters": q_sim_clusters,
+        "sim_quantized": q_sim_quantized,
         # multimodal family
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
+        "mm_dedup": q_mm_dedup,
         # classic relational operators
         "rel_agg": q_rel_agg,
         "rel_join": q_rel_join,
@@ -4480,6 +4702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range": q_rel_range,
         "rel_rollup_time": q_rel_rollup_time,
         "text_distinct_kmv": q_text_distinct_kmv,
+        "text_bloom": q_text_bloom,
+        "text_split_leakfree": q_text_split_leakfree,
     }
 
 
@@ -4556,9 +4780,11 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf_kmeans": _SIM_TOPK_SQL,
         "sim_knn_graph": _SIM_KNN_GRAPH_SQL,
         "sim_clusters": _SIM_CLUSTERS_SQL,
+        "sim_quantized": _SIM_QUANTIZED_SQL,
         "mm_meta": _MM_META_SQL,
         "mm_features": _MM_FEATURES_SQL,
         "mm_frames": _MM_FRAMES_SQL,
+        "mm_dedup": _MM_DEDUP_SQL,
         "rel_agg": _REL_AGG_SQL,
         "rel_join": _REL_JOIN_SQL,
         "rel_filter_agg": _REL_FILTER_AGG_SQL,
@@ -4579,9 +4805,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recrawl": _DEDUP_RECRAWL_SQL,
         "rel_rollup_time": _REL_ROLLUP_TIME_SQL,
         "text_distinct_kmv": _TEXT_DISTINCT_KMV_SQL,
+        "text_bloom": _TEXT_BLOOM_SQL,
+        "text_split_leakfree": _TEXT_SPLIT_LEAKFREE_SQL,
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_cooccur_triangles": _KG_COOCCUR_TRIANGLES_SQL,
         "kg_2hop": _KG_2HOP_SQL,
+        "kg_shortest_paths": _KG_SHORTEST_PATHS_SQL,
         "kg_2hop_kmv": _kg_2hop_kmv_sql(),
         "text_bpe_train": _text_bpe_train_sql(),
         "text_bpe_encode": _text_bpe_encode_sql(),

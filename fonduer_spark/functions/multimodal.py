@@ -254,3 +254,29 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
 
     return media.select("media_id", "payload", "duration_ms") \
         .mapInPandas(fn, _FRAME_SCHEMA)
+
+
+def media_dedup_exact(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact binary dedup over an opaque media column: content key =
+    md5 of the payload BYTES (no decode — works for any modality),
+    canonical = smallest id per content group. The image/audio twin of
+    dedup.exact_duplicates, returning per-row keep decisions:
+    (media_id, content_key, canonical, n_copies, kept).
+
+    Scale: ONE md5 projection + ONE map-side-combinable groupBy on the
+    128-bit key + a hash join back — the content never shuffles, only
+    (id, key) pairs; AQE handles hot keys (a viral image is exactly a
+    skewed content_key)."""
+    keyed = media.select(
+        F.col(id_col), F.md5(F.col(payload_col)).alias("content_key"))
+    groups = keyed.groupBy("content_key").agg(
+        F.min(id_col).alias("canonical"),
+        F.count(F.lit(1)).alias("n_copies"))
+    return keyed.join(groups, "content_key").select(
+        id_col, "content_key", "canonical",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        (F.col(id_col) == F.col("canonical")).cast("int").alias("kept"))

@@ -367,3 +367,53 @@ def quota_sample(
         .where(F.col("quota_rank") <= int(k))
         .drop("_qkey", "_qbucket", "_rn1")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    frac_train: float = 0.8,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Cluster-aware train/holdout split: near-duplicate documents NEVER
+    straddle the split — the eval-contamination failure a plain per-doc
+    hash split ships at web scale (a held-out doc whose near-twin is in
+    train is a leaked eval example).
+
+    Every doc's split key is its near-dup cluster canonical
+    (near_dup_keep: MinHash-LSH pairs -> verified Jaccard -> connected
+    components -> smallest member id); docs in no near-dup pair key on
+    themselves. The split decision is the package's deterministic
+    Bernoulli rule (md5(key || ':' || salt) / 2^32 < frac_train) applied
+    to the CLUSTER key, so all members inherit one decision —
+    partitioning-independent, rerun-stable, and replayed exactly by the
+    DuckDB oracle (recursive-CTE closure + the same md5 threshold).
+
+    Output: (doc_id, split_key, split) with split in {'train',
+    'holdout'}. Scale: the only additions over near_dup_keep are a
+    broadcast-sized left join (cluster members only — pairs are a sparse
+    subset of the corpus) and a pure filter expression.
+    """
+    if not 0.0 < frac_train < 1.0:
+        raise ValueError(f"frac_train must be in (0, 1), got {frac_train}")
+    from .dedup import near_dup_keep
+
+    comp = near_dup_keep(docs, id_col, text_col, k, bands, shingle_n,
+                         threshold)
+    key = F.coalesce(F.col("canonical"), F.col(id_col))
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.select(id_col, "canonical"), [id_col], "left")
+        .select(
+            F.col(id_col),
+            key.alias("split_key"),
+            F.when(_keep_hash(key, salt) < F.lit(float(frac_train)),
+                   F.lit("train")).otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+    )

@@ -560,3 +560,97 @@ def semantic_clusters(
     sizes = comp.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"))
     return comp.join(sizes, "cluster").select(id_col, "cluster", "n_members")
+
+
+def int8_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the standard 4x
+    memory compression for embedding indexes (float32 -> int8 codes +
+    one float scale per vector).
+
+        scale  = max_i |v_i| / 127
+        code_i = floor(v_i * 127.0 / max_i |v_i|)   (all zeros if v == 0)
+
+    floor, not round: Spark and DuckDB agree on IEEE floor bit-for-bit,
+    while their half-way rounding conventions are a latent mismatch. The
+    two FP ops (one multiply, one divide, identical order) are engine-
+    reproducible, so the codes — and everything integer downstream — are
+    oracle-checkable exactly. Codes land in [-127, 127] (floor can reach
+    -127 only at v_i == -max; the magnitude bound is what the integer-dot
+    exactness proof in quantized_topk needs).
+
+    Output: (id, codes array<long>, maxabs double). Pure column
+    expressions — no shuffle, no Python.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.when(
+        maxabs == 0.0,
+        F.transform(v, lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x * F.lit(127.0) / maxabs)))
+    return emb.select(
+        F.col(id_col), codes.alias("codes"), maxabs.alias("maxabs"))
+
+
+def quantized_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = MAX_EXACT_QUERIES,
+) -> DataFrame:
+    """Top-k maximum-inner-product neighbors over int8-quantized codes —
+    the compressed twin of cosine_topk (same broadcast nested-loop shape,
+    same query-count guard, 4x less corpus memory and integer multiplies
+    in the hot loop).
+
+    approx_dot(a, b) = (sum_i ca_i * cb_i) * (maxabs_a / 127.0)
+                                           * (maxabs_b / 127.0)
+
+    The code dot is EXACT int64 arithmetic (|sum| <= dim * 127^2, far
+    inside 2^53, so even its double cast is exact), and the three trailing
+    FP ops replay in the same order in SQL — the ranking and the 6-decimal
+    rounded score are bit-identical in the DuckDB oracle. Ordering is by
+    the full approx score (maxabs_b varies per neighbor, so the integer
+    dot alone would misrank), ties broken by neighbor id.
+
+    Output: (query_id, neighbor_id, qscore, rank).
+    """
+    query_ids = list(query_ids)
+    if len(query_ids) > max_queries:
+        raise ValueError(
+            f"quantized_topk got {len(query_ids)} query ids "
+            f"(> {max_queries}): a large query set is a disguised "
+            "all-pairs scan — use lsh_bucketed_ann, or raise max_queries "
+            "explicitly if the corpus is small."
+        )
+    qz = int8_quantize(emb, id_col, vec_col)
+    q = qz.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("codes").alias("qc"),
+        F.col("maxabs").alias("qm"))
+    c = qz.select(F.col(id_col).alias("neighbor_id"),
+                  F.col("codes").alias("cc"), F.col("maxabs").alias("cm"))
+    qdot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "qscore",
+            qdot.cast("double")
+            * (F.col("qm") / F.lit(127.0)) * (F.col("cm") / F.lit(127.0)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("qscore", 6).alias("qscore"), "rank")
+    )

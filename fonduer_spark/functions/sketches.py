@@ -157,3 +157,100 @@ def cms_estimate(
         .select(F.col("_p").alias(probe_col),
                 F.col("est_count").cast("long").alias("est_count"))
     )
+
+
+def _bloom_positions(val: Column, m: int, k_hashes: int) -> Column:
+    """Array of ``k_hashes`` bit positions in [0, m) for a value — ONE md5
+    split into two 32-bit halves, pos_j = (h1 + j*h2) mod m
+    (Kirsch-Mitzenmacher double hashing, the same idiom as the
+    minhash_km signature family). Integer-only, oracle-replayable."""
+    h = F.md5(val.cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.array(*[
+        F.pmod(h1 + F.lit(j) * h2, F.lit(int(m))) for j in range(k_hashes)
+    ])
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Distributed Bloom-filter build: a bitmap of ``m`` bits as m/64
+    packed int64 words — (word, bits, m, k_hashes).
+
+    THE bounded-memory membership structure for 10^12-row streams (seen-URL
+    sets, recrawl filters, shard-local distinct guards): m bits regardless
+    of input size, built with ONE map-side-combinable bit_or groupBy after
+    a k-way explode, MERGEABLE across corpus shards (bitmaps OR cell-wise),
+    no false negatives ever, false positives ~ (1 - e^(-kn/m))^k.
+
+    Absent words are implicitly all-zero — the frame has at most m/64 rows
+    (only words with a set bit), so the probe side broadcasts it. The
+    shape travels as literal columns so bloom_contains can refuse a
+    mismatched probe space (a wrong m/k would yield FALSE NEGATIVES, the
+    one failure a Bloom filter promises cannot happen).
+    """
+    if m < 64 or m % 64 != 0:
+        raise ValueError(f"m must be a positive multiple of 64, got {m}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    pos = F.explode(
+        F.array_distinct(_bloom_positions(F.col(col), m, k_hashes))
+    ).alias("pos")
+    return (
+        df.select(pos)
+        # SQL expr: python F.shiftleft only takes a literal shift amount
+        .select(F.expr("pos div 64").alias("word"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(pos % 64 AS INT))").alias("_bit"))
+        .groupBy("word")
+        .agg(F.bit_or("_bit").alias("bits"))
+        .select("word", "bits", F.lit(int(m)).alias("m"),
+                F.lit(int(k_hashes)).alias("k_hashes"))
+    )
+
+
+def bloom_contains(
+    bitmap: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    m: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Probe a Bloom bitmap: (probe_col, member) with member = 1 iff ALL
+    k bit positions are set. Inserted values are ALWAYS member = 1 (no
+    false negatives); a small share of absent values read 1 (false
+    positives from shared bits) — exactly the bits the build set, so the
+    oracle reproduces every decision via distinct-position membership
+    (bit (w, b) set <=> SOME inserted value hashed to position 64w+b).
+
+    The bitmap side (<= m/64 rows) is broadcast; the probe side streams —
+    the 10^12-row membership join costs no shuffle of the big side."""
+    shape = bitmap.select("m", "k_hashes").limit(1).collect()
+    if shape and (shape[0]["m"] != int(m)
+                  or shape[0]["k_hashes"] != int(k_hashes)):
+        raise ValueError(
+            f"bitmap shape m={shape[0]['m']}/k={shape[0]['k_hashes']} != "
+            f"probe shape m={int(m)}/k={int(k_hashes)}: mismatched hash "
+            "spaces produce false negatives")
+    pk = probes.select(F.col(probe_col).alias("_p")).distinct().select(
+        "_p",
+        F.explode(_bloom_positions(F.col("_p"), m, k_hashes)).alias("pos"),
+    ).select(
+        "_p",
+        F.expr("pos div 64").alias("word"),
+        F.expr("CAST(pos % 64 AS INT)").alias("_b"),
+    )
+    # SQL expr: python F.shiftrightunsigned only takes a literal amount
+    hit = F.expr(
+        "shiftrightunsigned(coalesce(bits, CAST(0 AS BIGINT)), _b) & 1")
+    return (
+        pk.join(F.broadcast(bitmap.select("word", "bits")), ["word"], "left")
+        .groupBy("_p")
+        .agg(F.min(hit).alias("member"))
+        .select(F.col("_p").alias(probe_col),
+                F.col("member").cast("int").alias("member"))
+    )

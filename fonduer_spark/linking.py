@@ -21,6 +21,8 @@ iteration persists and localCheckpoints to truncate lineage growth.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -607,3 +609,54 @@ def neighborhood_kmv(
         sym.unpersist()
         sk1.unpersist()
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: Sequence[str],
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact shortest-path distances (hop counts) from a seed set, bounded
+    at ``max_hops`` — frontier-style BFS, the Pregel-lite pattern: each
+    hop is ONE shuffle join (frontier x edges) plus ONE anti-join against
+    the settled set, so a k-hop query costs k bounded rounds regardless of
+    graph size; no per-node driver loops, no recursion depth tied to
+    diameter.
+
+    Directed semantics over ``edges`` as given — pass a symmetrized edge
+    frame for undirected graphs. Seeds that are not vertices of the graph
+    are ignored (distance is defined over graph nodes). The anti-join
+    preserves the BFS invariant: a node is settled the first (= shortest)
+    hop it is reached, so re-reachings at larger depth never overwrite.
+
+    Output: (node, dist) for every node within ``max_hops`` of a seed,
+    dist = 0 for the seeds themselves. Oracle-reproducible: a recursive
+    CTE bounded at the same depth with min(d) per node replays it exactly.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    dist = nodes.where(F.col("node").isin(list(seeds))).select(
+        "node", F.lit(0).cast("int").alias("dist")).persist()
+    frontier = dist.select("node")
+    fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("_to"))
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(fwd, "node")
+            .select(F.col("_to").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("dist"))
+        )
+        nxt = nxt.persist()
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).persist()
+        frontier = nxt.select("node")
+    return dist

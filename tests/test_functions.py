@@ -627,3 +627,47 @@ def test_keyword_search_integer_scores(spark):
     assert [r.doc_id for r in ranked] == [2, 0, 1, 4]  # tie 1<4 by id
     with pytest.raises(ValueError):
         keyword_search(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (similarity.int8_quantize / quantized_topk)
+# ---------------------------------------------------------------------------
+def test_int8_quantize_bounds_and_reconstruction(spark, emb):
+    qz = sim.int8_quantize(emb, vec_col="embedding").collect()
+    orig = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.collect()}
+    for r in qz:
+        assert all(-127 <= c <= 127 for c in r.codes)
+        scale = r.maxabs / 127.0
+        # floor quantization: |code * scale - v| < scale
+        for c, v in zip(r.codes, orig[r.vec_id]):
+            assert abs(c * scale - v) < scale + 1e-12
+
+
+def test_int8_quantize_zero_vector(spark):
+    df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    r = sim.int8_quantize(df, vec_col="embedding").collect()[0]
+    assert r.codes == [0, 0, 0] and r.maxabs == 0.0
+
+
+def test_quantized_topk_finds_planted_neighbor(spark, emb):
+    # the planted near-duplicate of vec 0 dominates inner product too
+    out = sim.quantized_topk(emb, [0], k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].neighbor_id == 1
+    # approx inner product within quantization error of the exact one
+    exact = {r.vec_id: r for r in emb.crossJoin(
+        emb.where("vec_id = 0").select(F.col("embedding").alias("qv"))
+    ).where("vec_id <> 0").select(
+        "vec_id",
+        sim.dot(F.col("qv"), F.col("embedding")).alias("d"),
+    ).collect()}
+    # relative error of int8 symmetric quantization on these vectors
+    d = exact[out[0].neighbor_id].d
+    assert abs(out[0].qscore - d) / abs(d) < 0.05
+
+
+def test_quantized_topk_query_guard(spark, emb):
+    with pytest.raises(ValueError, match="disguised all-pairs"):
+        sim.quantized_topk(emb, list(range(10)), max_queries=5)

@@ -278,3 +278,51 @@ def test_quota_sample_plan_has_no_global_window(spark):
     # both rank phases partition by at least the stratum key — the
     # whole-corpus single-partition sort never appears
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split (sampling.leakage_safe_split)
+# ---------------------------------------------------------------------------
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from fonduer_spark.functions.sampling import leakage_safe_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    # 30 near-dup clusters of 3 (ids 3c, 3c+1, 3c+2 share a long text with
+    # a tiny per-cluster tweak), plus 30 singletons with disjoint texts
+    for c in range(30):
+        for j in range(3):
+            suffix = "" if j == 0 else f" v{j}"
+            rows.append((3 * c + j, f"{base} cluster{c}{suffix}"))
+    for s in range(30):
+        rows.append((1000 + s, f"totally unrelated text number{s} "
+                               f"alpha{s} beta{s} gamma{s} delta{s}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs, frac_train=0.5, salt="t").collect()
+    assert len(out) == len(rows)  # every doc gets a split, singletons too
+    by_id = {r.doc_id: r for r in out}
+    for c in range(30):
+        members = [by_id[3 * c + j] for j in range(3)]
+        # one split key per cluster, every member on the same side
+        assert len({m.split_key for m in members}) == 1
+        assert len({m.split for m in members}) == 1
+    # singletons key on themselves
+    for s in range(30):
+        assert by_id[1000 + s].split_key == 1000 + s
+    # both sides populated at frac=0.5 over 60 keys
+    sides = {r.split for r in out}
+    assert sides == {"train", "holdout"}
+
+
+def test_leakage_safe_split_deterministic_and_validated(spark):
+    from fonduer_spark.functions.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i} one two three") for i in range(20)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, leakage_safe_split(docs, 0.8, "s").collect()))
+    b = sorted(map(tuple, leakage_safe_split(
+        docs.repartition(7), 0.8, "s").collect()))
+    assert a == b  # partitioning-independent
+    with pytest.raises(ValueError, match="frac_train"):
+        leakage_safe_split(docs, frac_train=1.5)

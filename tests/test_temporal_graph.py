@@ -250,3 +250,152 @@ def test_cms_rejects_bad_shape(spark):
     probes = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError, match="undercount"):
         cms_estimate(sk, probes, "v", width=32, depth=3)
+
+
+def _bloom_py_member(inserted, probe, m, k):
+    """Python replica of the KM double-hash position rule — the exact
+    decision the Spark bitmap must reproduce."""
+    import hashlib
+
+    def positions(v):
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+        return {(h1 + j * h2) % m for j in range(k)}
+
+    setbits = set()
+    for v in inserted:
+        setbits |= positions(v)
+    return {p: int(positions(p) <= setbits) for p in probe}
+
+
+def test_bloom_matches_python_replica_and_never_false_negative(spark):
+    from fonduer_spark.functions.sketches import bloom_build, bloom_contains
+
+    inserted = [f"tok{i}" for i in range(60)]
+    absent = [f"zzz{i}" for i in range(60)]
+    df = spark.createDataFrame([(v,) for v in inserted], "v string")
+    probes = spark.createDataFrame(
+        [(v,) for v in inserted + absent], "v string")
+    # m = 128 bits for 60*2 inserted positions: dense enough that false
+    # positives actually occur, so the replica check exercises both arms
+    bm = bloom_build(df, "v", m=128, k_hashes=2)
+    got = {r.v: r.member
+           for r in bloom_contains(bm, probes, "v", m=128,
+                                   k_hashes=2).collect()}
+    want = _bloom_py_member(inserted, inserted + absent, 128, 2)
+    assert got == want
+    # the hard guarantee: every inserted value is a member
+    assert all(got[v] == 1 for v in inserted)
+    # the fixture is chosen dense: some false positives exist, not all
+    fp = sum(got[v] for v in absent)
+    assert 0 < fp < len(absent)
+
+
+def test_bloom_mergeable_across_shards(spark):
+    from fonduer_spark.functions.sketches import bloom_build
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)],
+                               "i long, v string")
+    whole = bloom_build(df, "v", m=256, k_hashes=3)
+    merged = (
+        bloom_build(df.where("i < 20"), "v", m=256, k_hashes=3)
+        .unionByName(bloom_build(df.where("i >= 20"), "v", m=256,
+                                 k_hashes=3))
+        .groupBy("word", "m", "k_hashes")
+        .agg(F.bit_or("bits").alias("bits"))
+        .select("word", "bits", "m", "k_hashes")
+    )
+    assert sorted(map(tuple, whole.collect())) \
+        == sorted(map(tuple, merged.collect()))
+
+
+def test_bloom_rejects_bad_shapes(spark):
+    from fonduer_spark.functions.sketches import bloom_build, bloom_contains
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(df, "v", m=100)
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_build(df, "v", m=64, k_hashes=0)
+    bm = bloom_build(df, "v", m=128, k_hashes=2)
+    with pytest.raises(ValueError, match="false negatives"):
+        bloom_contains(bm, df, "v", m=256, k_hashes=2)
+
+
+def test_bloom_build_is_single_shuffle_and_probe_broadcasts(spark):
+    from fonduer_spark.functions.sketches import bloom_build, bloom_contains
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(30)], "v string")
+    bm = bloom_build(df, "v", m=256, k_hashes=3)
+    plan = bm._sc._jvm.PythonSQLUtils.explainString(
+        bm._jdf.queryExecution(), "formatted")
+    n_exchanges = len({ln.strip() for ln in plan.splitlines()
+                       if ln.strip().startswith("(") and "Exchange" in ln})
+    assert n_exchanges == 1, plan
+    out = bloom_contains(bm, df, "v", m=256, k_hashes=3)
+    pplan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in pplan or "BroadcastNestedLoop" in pplan, \
+        pplan
+
+
+def _bfs_py(edges, seeds, max_hops):
+    """Dijkstra-free python BFS replica (unit hop costs)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        adj[a].add(b)
+        nodes |= {a, b}
+    dist = {s: 0 for s in seeds if s in nodes}
+    dq = deque(dist)
+    while dq:
+        u = dq.popleft()
+        if dist[u] == max_hops:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+def test_bfs_distances_matches_python_bfs(spark):
+    from fonduer_spark.linking import bfs_distances
+
+    # a path graph with a branch and an unreachable island
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("b", "x"), ("x", "y"), ("p", "q")]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    got = {r.node: r.dist
+           for r in bfs_distances(df, ["a"], max_hops=3).collect()}
+    assert got == _bfs_py(sym, ["a"], 3)
+    assert got["a"] == 0 and got["b"] == 1 and got["d"] == 3
+    assert "e" not in got and "p" not in got  # beyond hops / island
+
+
+def test_bfs_distances_multi_seed_and_guards(spark):
+    from fonduer_spark.linking import bfs_distances
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # two seeds: min distance wins; 'zz' is not a vertex -> ignored
+    got = {r.node: r.dist
+           for r in bfs_distances(df, ["a", "d", "zz"], max_hops=2).collect()}
+    # directed: d has no outgoing edge, so c is reached from a (2 hops)
+    assert got == {"a": 0, "d": 0, "b": 1, "c": 2}
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_distances(df, ["a"], max_hops=-1)
+
+
+def test_media_dedup_exact(spark):
+    from fonduer_spark.functions.multimodal import media_dedup_exact
+
+    rows = [(0, bytearray(b"aaa")), (1, bytearray(b"bbb")),
+            (2, bytearray(b"aaa")), (3, bytearray(b""))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.canonical, r.n_copies, r.kept)
+           for r in media_dedup_exact(media).collect()}
+    assert got == {0: (0, 2, 1), 1: (1, 1, 1), 2: (0, 2, 0), 3: (3, 1, 1)}
