@@ -193,6 +193,29 @@ def main_bench(cores: int, sf_dir: str) -> dict:
                               n_centroids=16, nprobe=8,
                               quantizer="kmeans"), exact_off)
 
+    # int8-quantized MIPS vs EXACT maximum-inner-product top-5 over the
+    # same mixed query set — the quality number for the 4x-compressed
+    # index path (sim_quantized). Ground truth is the uncompressed dot
+    # product through the same broadcast nested-loop shape.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _q = emb.where(_F.col("vec_id").isin(qids)).select(
+        _F.col("vec_id").alias("query_id"), _F.col("embedding").alias("qv"))
+    _c = emb.select(_F.col("vec_id").alias("neighbor_id"),
+                    _F.col("embedding").alias("cv"))
+    _w = _W.partitionBy("query_id").orderBy(
+        _F.col("d").desc(), _F.col("neighbor_id").asc())
+    exact_mips = {
+        (r.query_id, r.neighbor_id)
+        for r in _F.broadcast(_q).crossJoin(_c)
+        .where("query_id <> neighbor_id")
+        .withColumn("d", _sim.dot(_F.col("qv"), _F.col("cv")))
+        .withColumn("rank", _F.row_number().over(_w))
+        .where("rank <= 5").collect()
+    }
+    qz_recall = _recall(_sim.quantized_topk(emb, qids, k=5), exact_mips)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "kg_pipeline_and_ops_wall",
@@ -210,6 +233,7 @@ def main_bench(cores: int, sf_dir: str) -> dict:
         "sim_ivf_recall_at5": ivf_cen,
         "sim_ivf_offcentroid_recall_at5": ivf_off,
         "sim_ivf_kmeans_offcentroid_recall_at5": ivf_km_off,
+        "sim_quantized_recall_at5": qz_recall,
         # per-query machine condition of each BEST run (/proc/stat delta:
         # cores the hypervisor actually delivered + steal share) — makes a
         # uniform wall-clock swing attributable instead of guessed
