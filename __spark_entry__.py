@@ -3948,8 +3948,17 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kg_pagerank_sql() -> str:
-    # one integer PageRank step: contribs into v, then the damped update
+def _kg_pagerank_sql(seeds: tuple = ()) -> str:
+    # one integer PageRank step: contribs into v, then the damped update.
+    # With seeds, restart mass (init + base term) lands on seeds ONLY —
+    # the personalized variant, same floor-division arithmetic.
+    if seeds:
+        in_seeds = "IN (" + ", ".join(f"'{s}'" for s in seeds) + ")"
+        init = f"CASE WHEN v {in_seeds} THEN 1000000000000 ELSE 0 END"
+        base = f"CASE WHEN n.v {in_seeds} THEN 150000000000 ELSE 0 END"
+    else:
+        init = "1000000000000"
+        base = "150000000000"
     step = """
 c{i} AS (
   SELECT e.dst AS v, sum(r.rank // o.d) AS inflow
@@ -3959,10 +3968,11 @@ c{i} AS (
   GROUP BY e.dst
 ),
 r{i} AS (
-  SELECT n.v, 150000000000 + (85 * COALESCE(c.inflow, 0)) // 100 AS rank
+  SELECT n.v, {base} + (85 * COALESCE(c.inflow, 0)) // 100 AS rank
   FROM nodes n LEFT JOIN c{i} c ON c.v = n.v
 )"""
-    steps = ",".join(step.format(i=i, p=i - 1) for i in (1, 2, 3))
+    steps = ",".join(step.format(i=i, p=i - 1, base=base)
+                     for i in (1, 2, 3))
     return f"""
 WITH docs AS (SELECT doc_id AS i FROM documents),
 tabs AS (
@@ -3979,11 +3989,29 @@ edges AS (
 ),
 nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
 outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+r0 AS (SELECT v, CAST({init} AS BIGINT) AS rank FROM nodes),
 {steps}
 SELECT v AS node, CAST(rank AS BIGINT) AS rank_scaled
 FROM r3 ORDER BY node
 """
+
+
+def q_kg_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank around a seed entity set (linking.pagerank
+    with seeds): restart mass lands only on the seeds, so rank measures
+    relevance to the query entities rather than global centrality — the
+    standard KG neighborhood-ranking pass. Same exact-integer floor-
+    division arithmetic as kg_pagerank; the oracle unrolls the same three
+    seeded iterations as CTEs."""
+    triples = kg_stages(spark, sf_dir)["triples"]
+    edges = triples.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return (
+        pagerank(edges, iters=3, scale=10**12, seeds=["85", "90", "95"])
+        .select(F.col("v").alias("node"),
+                F.col("rank_scaled").cast("long").alias("rank_scaled"))
+        .orderBy("node")
+    )
 
 
 def q_kg_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4627,6 +4655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": q_kg_entities,
         "kg_quality": q_kg_quality,
         "kg_pagerank": q_kg_pagerank,
+        "kg_pagerank_seeded": q_kg_pagerank_seeded,
         "kg_cooccur_triangles": q_kg_cooccur_triangles,
         "kg_2hop": q_kg_2hop,
         "kg_2hop_kmv": q_kg_2hop_kmv,
@@ -4808,6 +4837,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bloom": _TEXT_BLOOM_SQL,
         "text_split_leakfree": _TEXT_SPLIT_LEAKFREE_SQL,
         "kg_pagerank": _kg_pagerank_sql(),
+        "kg_pagerank_seeded": _kg_pagerank_sql(("85", "90", "95")),
         "kg_cooccur_triangles": _KG_COOCCUR_TRIANGLES_SQL,
         "kg_2hop": _KG_2HOP_SQL,
         "kg_shortest_paths": _KG_SHORTEST_PATHS_SQL,

@@ -260,6 +260,7 @@ def pagerank(
     scale: int = 10**12,
     damping_num: int = 85,
     damping_den: int = 100,
+    seeds: Sequence[str] | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the materialized graph, in exact
     integer arithmetic: (node, rank_scaled).
@@ -288,6 +289,14 @@ def pagerank(
     round truncates the lineage so plans stay O(1). Overflow bound:
     inflow <= N*scale, so num*inflow needs num*N*scale < 2**63 — at
     10**12 nodes drop ``scale`` accordingly.
+
+    ``seeds`` switches to PERSONALIZED PageRank (entity relevance around
+    a query set): restart mass lands ONLY on the seed nodes —
+    rank_0(v) = scale for seeds, 0 otherwise, and the damped base term
+    applies to seeds only. Same integer arithmetic, same per-round shape;
+    non-seed nodes accumulate rank only through inbound paths from the
+    seed neighborhood. Seeds not present in the graph contribute nothing
+    (distances/relevance are defined over graph nodes).
     """
     e = edges.select("src", "dst").distinct()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
@@ -299,8 +308,15 @@ def pagerank(
         .persist()
     )
     base = (damping_den - damping_num) * scale // damping_den
+    if seeds is None:
+        init_col = F.lit(int(scale))
+        base_col = F.lit(int(base))
+    else:
+        is_seed = F.col("v").isin(list(seeds))
+        init_col = F.when(is_seed, F.lit(int(scale))).otherwise(F.lit(0))
+        base_col = F.when(is_seed, F.lit(int(base))).otherwise(F.lit(0))
     ranks = nodes.select(
-        "v", F.lit(int(scale)).cast("long").alias("rank_scaled"))
+        "v", init_col.cast("long").alias("rank_scaled"))
     for _ in range(int(iters)):
         inflow = (
             ed.join(ranks, ed.src == ranks.v)
@@ -313,7 +329,7 @@ def pagerank(
             nodes.join(inflow, "v", "left")
             .select(
                 "v",
-                (F.lit(int(base)) + F.expr(
+                (base_col + F.expr(
                     f"({int(damping_num)} * coalesce(_in, 0L)) "
                     f"div {int(damping_den)}"))
                 .cast("long").alias("rank_scaled"),

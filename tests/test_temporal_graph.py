@@ -399,3 +399,33 @@ def test_media_dedup_exact(spark):
     got = {r.media_id: (r.canonical, r.n_copies, r.kept)
            for r in media_dedup_exact(media).collect()}
     assert got == {0: (0, 2, 1), 1: (1, 1, 1), 2: (0, 2, 0), 3: (3, 1, 1)}
+
+
+def _ppr_replica(edges, seeds, iters=3, scale=10**12):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    seeds = {s for s in seeds if s in nodes}
+    rank = {v: (scale if v in seeds else 0) for v in nodes}
+    base = 15 * scale // 100
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // out[s]
+        rank = {v: (base if v in seeds else 0) + (85 * inflow[v]) // 100
+                for v in nodes}
+    return rank
+
+
+def test_personalized_pagerank_matches_replica(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("d", "a"), ("e", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.v: r.rank_scaled
+           for r in pagerank(df, iters=3, seeds=["a", "nope"]).collect()}
+    assert got == _ppr_replica(edges, ["a", "nope"], iters=3)
+    # restart mass only on the seed: the self-loop island never gains rank
+    assert got["e"] == 0
+    # reachable-from-seed nodes do
+    assert got["b"] > 0 and got["c"] > 0
