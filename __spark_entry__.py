@@ -4618,6 +4618,110 @@ ORDER BY media_id
 """
 
 
+def q_kg_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the extracted entity graph
+    (linking.link_prediction_scores): for every NON-adjacent pair sharing
+    >= 2 neighbors, the exact common-neighbor count plus the
+    resource-allocation index in integer micro-units (per-apex
+    1000000 div deg, integer-summed — no float order-dependence, no
+    transcendentals, so DuckDB replays every score bit-for-bit). Same
+    gold edge set as kg_2hop on a denser 1-in-5 doc subsample (wedge
+    work is Theta(sum deg^2), cheaper than exact 2-hop reach, so the
+    operator affords 4x the docs); wedge fan-out is
+    apex-degree-capped (the curse-of-the-last-reducer guard, replayed
+    identically by the oracle)."""
+    from fonduer_spark.linking import link_prediction_scores
+
+    pairs = _kg_edge_pairs(spark, sf_dir, every=5)
+    return link_prediction_scores(
+        pairs, min_common=2, max_apex_degree=10_000).orderBy("a", "b")
+
+
+_KG_LINKPRED_SQL = f"""
+WITH {_GOLD_EDGE_CTES.format(doc_filter=" WHERE doc_id % 5 = 0")},
+deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src),
+apex AS (
+  SELECT s.src AS apex, s.dst AS n, 1000000 // d.degree AS w
+  FROM sym s JOIN deg d ON d.src = s.src
+  WHERE d.degree <= 10000
+),
+wed AS (
+  SELECT f.n AS a, s.n AS b, f.w
+  FROM apex f JOIN apex s ON f.apex = s.apex
+  WHERE f.n < s.n
+),
+sc AS (
+  SELECT a, b, count(*) AS cn, sum(w) AS ra
+  FROM wed GROUP BY a, b HAVING count(*) >= 2
+),
+und AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst)
+SELECT sc.a AS a, sc.b AS b,
+       CAST(cn AS BIGINT) AS cn, CAST(ra AS BIGINT) AS ra_micros
+FROM sc ANTI JOIN und ON sc.a = und.a AND sc.b = und.b
+ORDER BY a, b
+"""
+
+
+def q_rel_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage
+    (linking.fuzzy_join_levenshtein): clean part catalog vs a
+    deterministically-dirtied copy (1-in-3 names get a suffix append,
+    1-in-3 a prefix substitution — each variant breaks exactly one of
+    the two blocking keys, so BOTH passes are exercised). Candidates =
+    prefix-8 + suffix-8 equi-join blocks unioned; verify = banded JVM
+    levenshtein(threshold=2). Never cartesian. The oracle replays the
+    identical blocking union + full levenshtein in DuckDB."""
+    from fonduer_spark.linking import fuzzy_join_levenshtein
+
+    p = _t(spark, sf_dir, "part")
+    clean = p.select("p_partkey", "p_name")
+    dirty = p.select(
+        F.col("p_partkey").alias("d_partkey"),
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.concat(F.col("p_name"), F.lit("x")))
+        .when(F.col("p_partkey") % 3 == 1,
+              F.concat(F.lit("z"), F.expr("substr(p_name, 2)")))
+        .otherwise(F.col("p_name")).alias("d_name"),
+    )
+    return fuzzy_join_levenshtein(
+        clean, dirty, "p_partkey", "d_partkey", "p_name", "d_name",
+        max_dist=2, block_len=8,
+    ).orderBy("left_id", "right_id")
+
+
+_REL_FUZZY_JOIN_SQL = """
+WITH dirty AS (
+  SELECT p_partkey AS d_partkey,
+         CASE WHEN p_partkey % 3 = 0 THEN p_name || 'x'
+              WHEN p_partkey % 3 = 1 THEN 'z' || substr(p_name, 2)
+              ELSE p_name END AS d_name
+  FROM part
+),
+lblk AS (
+  SELECT p_partkey, p_name, substr(p_name, 1, 8) AS bk FROM part
+  UNION ALL
+  SELECT p_partkey, p_name,
+         substr(p_name, greatest(length(p_name) - 7, 1)) AS bk FROM part
+),
+rblk AS (
+  SELECT d_partkey, d_name, substr(d_name, 1, 8) AS bk FROM dirty
+  UNION ALL
+  SELECT d_partkey, d_name,
+         substr(d_name, greatest(length(d_name) - 7, 1)) AS bk FROM dirty
+),
+cand AS (
+  SELECT DISTINCT p_partkey, d_partkey, p_name, d_name
+  FROM lblk JOIN rblk USING (bk)
+)
+SELECT p_partkey AS left_id,
+       d_partkey AS right_id,
+       CAST(levenshtein(p_name, d_name) AS INTEGER) AS lev_dist
+FROM cand
+WHERE levenshtein(p_name, d_name) <= 2
+ORDER BY left_id, right_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4660,6 +4764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_2hop": q_kg_2hop,
         "kg_2hop_kmv": q_kg_2hop_kmv,
         "kg_shortest_paths": q_kg_shortest_paths,
+        "kg_linkpred": q_kg_linkpred,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -4730,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof": q_rel_asof,
         "rel_range": q_rel_range,
         "rel_rollup_time": q_rel_rollup_time,
+        "rel_fuzzy_join": q_rel_fuzzy_join,
         "text_distinct_kmv": q_text_distinct_kmv,
         "text_bloom": q_text_bloom,
         "text_split_leakfree": q_text_split_leakfree,
@@ -4841,6 +4947,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccur_triangles": _KG_COOCCUR_TRIANGLES_SQL,
         "kg_2hop": _KG_2HOP_SQL,
         "kg_shortest_paths": _KG_SHORTEST_PATHS_SQL,
+        "kg_linkpred": _KG_LINKPRED_SQL,
+        "rel_fuzzy_join": _REL_FUZZY_JOIN_SQL,
         "kg_2hop_kmv": _kg_2hop_kmv_sql(),
         "text_bpe_train": _text_bpe_train_sql(),
         "text_bpe_encode": _text_bpe_encode_sql(),

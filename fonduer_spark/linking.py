@@ -676,3 +676,162 @@ def bfs_distances(
         dist = dist.unionByName(nxt).persist()
         frontier = nxt.select("node")
     return dist
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_apex_degree: int = 10_000,
+    weight_scale: int = 1_000_000,
+    eager_cleanup: bool = True,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph — the
+    classic KG-completion census (Liben-Nowell & Kleinberg CIKM'03): for
+    every NON-adjacent node pair (a < b) sharing >= ``min_common``
+    neighbors, emit
+
+      (a, b, cn, ra_micros)
+
+    where ``cn`` is the exact common-neighbor count and ``ra_micros`` is
+    the resource-allocation index (Zhou et al. '09: sum over shared
+    neighbors w of 1/deg(w) — the RA variant of Adamic-Adar without the
+    transcendental log) in integer micro-units: per-apex
+    ``weight_scale div deg(w)`` then an integer SUM. Integer-only math on
+    purpose — float summation order differs across engines and log() is
+    banned from hash-compared output (CLAUDE.md float-determinism rule),
+    so the DuckDB oracle replays every score bit-for-bit.
+
+    Shape: one wedge self-join of the symmetrized edge list on the apex
+    (the shared neighbor), one groupBy (a, b), one left_anti equi-join
+    against the undirected edge set (non-adjacency), all JVM-side.
+
+    Scale: wedge enumeration is Theta(sum_w deg(w)^2) — a web-scale hub
+    is the curse-of-the-last-reducer. ``max_apex_degree`` EXCLUDES apexes
+    above the cap (rather than hard-failing like neighborhood_counts):
+    that is the operator's documented semantics, not a shortcut — a
+    mega-hub contributes ~zero RA weight (1/deg) and no predictive signal
+    (everything co-occurs with it), which is exactly why production AA/RA
+    scorers drop super-nodes. The cap is replayed identically by the
+    oracle, so capped results are still exact under the definition.
+
+    ``eager_cleanup`` (default): materialize (localCheckpoint) and release
+    the internal persisted frame — same contract as triangle_counts. Pass
+    False for the lazy plan (.explain inspection).
+
+    Reference has no graph-completion stage (triples are its terminal
+    output; /root/reference/src/fonduer/candidates/candidates.py stops at
+    extraction) — this extends the KG-construction pipeline per the
+    north rule's entity-linking/canonicalization mandate.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    sym = _symmetrize(edges).persist()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    apex = (
+        sym.join(deg.where(F.col("degree") <= int(max_apex_degree)), "src")
+        .select(
+            F.col("src").alias("apex"),
+            F.col("dst").alias("n"),
+            F.expr(f"{int(weight_scale)}L div degree").alias("_w"),
+        )
+    )
+    f, s = apex.alias("f"), apex.alias("s")
+    wedges = (
+        f.join(s, "apex")
+        .where(F.col("f.n") < F.col("s.n"))
+        .select(
+            F.col("f.n").alias("a"),
+            F.col("s.n").alias("b"),
+            F.col("f._w").alias("_w"),
+        )
+    )
+    scored = (
+        wedges.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("_w").cast("long").alias("ra_micros"),
+        )
+        .where(F.col("cn") >= int(min_common))
+    )
+    und = sym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"))
+    out = scored.join(und, ["a", "b"], "left_anti")
+    if eager_cleanup:
+        out = out.localCheckpoint()
+        sym.unpersist()
+    return out
+
+
+def fuzzy_join_levenshtein(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    block_len: int = 8,
+) -> DataFrame:
+    """Blocked edit-distance similarity join — the record-linkage
+    workhorse (dirty catalog vs clean catalog): emit
+    (left_id, right_id, lev_dist) for every cross pair with
+    levenshtein(left_col, right_col) <= ``max_dist``.
+
+    Candidate generation: each row emits TWO block keys — its first
+    ``block_len`` characters and its last ``block_len`` characters —
+    into ONE keyed frame per side; a cross pair is a candidate when ANY
+    key collides (a single equi-join on the unioned keys, then pair
+    dedup). Cross-end collisions are deliberately included: a
+    front-deletion plus back-insertion shifts the whole string, making
+    the clean SUFFIX equal the dirty PREFIX — separate per-pass joins
+    would miss exactly that family. Disclosed recall boundary: a pair whose
+    every shared window is edited (all four keys differ) is missed;
+    exhaustive recall needs the q-gram + length-filter cascade (cf.
+    similarity_edges for the shingle/Jaccard path). Verification =
+    banded Levenshtein with the threshold pushed into the JVM kernel
+    (F.levenshtein(l, r, threshold) computes the O(d*n) band and returns
+    -1 above it — never the full DP, never a Python UDF).
+
+    Scale: NEVER cartesian — comparisons are bounded by block
+    co-membership (two shuffle equi-joins + one distinct); skewed blocks
+    (a hyper-common prefix) are ordinary AQE skew-join territory because
+    both passes are plain equi-joins. All outputs exact integers.
+
+    Reference parity: the reference has no approximate string join (its
+    entity matching is exact dictionary/regex — matchers.py); this is
+    the entity-linking extension the north rule's canonicalization
+    stage needs at web scale.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    bl = int(block_len)
+    lf = left.select(
+        F.col(left_id).alias("_lid"), F.col(left_col).alias("_ls"))
+    rf = right.select(
+        F.col(right_id).alias("_rid"), F.col(right_col).alias("_rs"))
+
+    # greatest(..., 1): strings shorter than block_len take the whole
+    # string in BOTH engines (DuckDB substr with start < 1 shifts the
+    # window instead — never rely on negative-start semantics).
+    def _keyed(df: DataFrame, c: str) -> DataFrame:
+        pre = df.withColumn("_bk", F.expr(f"substr({c}, 1, {bl})"))
+        suf = df.withColumn(
+            "_bk",
+            F.expr(f"substr({c}, greatest(length({c}) - {bl - 1}, 1))"))
+        return pre.unionByName(suf)
+
+    cand = (
+        _keyed(lf, "_ls").join(_keyed(rf, "_rs"), "_bk")
+        .select("_lid", "_rid", "_ls", "_rs")
+        .dropDuplicates(["_lid", "_rid"])
+    )
+    dist = F.levenshtein(F.col("_ls"), F.col("_rs"), int(max_dist))
+    return (
+        cand.withColumn("_d", dist)
+        .where(F.col("_d") >= 0)
+        .select(
+            F.col("_lid").alias("left_id"),
+            F.col("_rid").alias("right_id"),
+            F.col("_d").cast("int").alias("lev_dist"),
+        )
+    )

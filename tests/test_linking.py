@@ -205,3 +205,72 @@ def test_neighborhood_kmv_estimates_above_k(spark):
     assert all(v == 101 for v in exact.values())
     for node, e in est.items():
         assert 0.4 * exact[node] <= e <= 2.5 * exact[node], (node, e)
+
+
+def test_link_prediction_common_neighbors(spark):
+    # square a-b-c-d-a plus a pendant e on a: non-adjacent diagonals
+    # (a,c) and (b,d) each share two degree-≥2 neighbors.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "e")],
+        "a string, b string")
+    from fonduer_spark.linking import link_prediction_scores
+
+    rows = {(r.a, r.b): (r.cn, r.ra_micros)
+            for r in link_prediction_scores(edges, min_common=2).collect()}
+    # deg: a=3, b=2, c=2, d=2, e=1
+    # (a,c): apexes b,d (deg 2 each) -> cn=2, ra = 2 * (1000000 div 2)
+    # (b,d): apexes a (deg 3), c (deg 2) -> 333333 + 500000
+    assert rows == {("a", "c"): (2, 1_000_000),
+                    ("b", "d"): (2, 833_333)}
+
+
+def test_link_prediction_excludes_adjacent_and_hubs(spark):
+    edges = spark.createDataFrame(
+        [("h", x) for x in "abcd"] + [("a", "b")], "a string, b string")
+    from fonduer_spark.linking import link_prediction_scores
+
+    # triangle h-a-b: (a,b) adjacent -> excluded even though cn via h
+    got = link_prediction_scores(edges, min_common=1).collect()
+    pairs = {(r.a, r.b) for r in got}
+    assert ("a", "b") not in pairs
+    # all non-adjacent spoke pairs share only hub h (deg 4)
+    assert {("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")
+            } <= pairs
+    # capping out the hub apex removes every wedge -> empty
+    assert link_prediction_scores(
+        edges, min_common=1, max_apex_degree=3).count() == 0
+
+
+def test_fuzzy_join_levenshtein_two_pass_blocking(spark):
+    from fonduer_spark.linking import fuzzy_join_levenshtein
+
+    clean = spark.createDataFrame(
+        [(1, "chartreuse goldenrod"), (2, "lavender chocolate"),
+         (3, "completely different")],
+        "id long, name string")
+    dirty = spark.createDataFrame(
+        [(10, "chartreuse goldenrodx"),   # suffix edit: prefix block hits
+         (20, "zavender chocolate"),      # prefix edit: suffix block hits
+         (30, "no relation at all")],
+        "id long, name string")
+    got = {(r.left_id, r.right_id): r.lev_dist
+           for r in fuzzy_join_levenshtein(
+               clean, dirty, "id", "id", "name", "name",
+               max_dist=2, block_len=8).collect()}
+    assert got == {(1, 10): 1, (2, 20): 1}
+
+
+def test_fuzzy_join_short_strings_whole_string_block(spark):
+    from fonduer_spark.linking import fuzzy_join_levenshtein
+
+    clean = spark.createDataFrame([(1, "abc")], "id long, name string")
+    dirty = spark.createDataFrame([(2, "abd")], "id long, name string")
+    got = fuzzy_join_levenshtein(
+        clean, dirty, "id", "id", "name", "name",
+        max_dist=2, block_len=8).collect()
+    # both shorter than block_len: block key = whole string; the pair
+    # differs in the last char so only the PREFIX pass can catch it
+    # (substr(,1,8) of 'abc' vs 'abd' differ) -> correctly no candidate
+    # from prefix, none from suffix -> empty (the documented recall
+    # boundary for edits inside every block key).
+    assert got == []

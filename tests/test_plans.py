@@ -282,3 +282,37 @@ def test_neighborhood_kmv_no_cartesian_all_jvm(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_link_prediction_no_cartesian_all_jvm(spark):
+    """Link prediction must plan as equi-joins only: the wedge self-join
+    keys on the apex and non-adjacency is a left_anti equi-join — a
+    CartesianProduct would be the all-pairs scale-killer the blocking
+    exists to avoid. Integer-only scoring keeps it JVM-side."""
+    from fonduer_spark.linking import link_prediction_scores
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "a string, b string")
+    plan = plan_of(link_prediction_scores(edges, eager_cleanup=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_join_blocked_equi_join_banded_kernel(spark):
+    """The edit-distance join must candidate-generate via equi-joins on
+    the block keys (never cartesian) and verify with the THRESHOLDED
+    levenshtein kernel (banded O(d*n), visible as the 3-arg form in the
+    plan), entirely JVM-side."""
+    from fonduer_spark.linking import fuzzy_join_levenshtein
+
+    df = spark.createDataFrame(
+        [(1, "chartreuse goldenrod")], "id long, name string")
+    out = fuzzy_join_levenshtein(
+        df, df, "id", "id", "name", "name", max_dist=2, block_len=8)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "levenshtein(_ls" in plan and "Some(2)" in plan
