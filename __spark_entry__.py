@@ -4722,6 +4722,46 @@ ORDER BY left_id, right_id
 """
 
 
+def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 2-D skyline / Pareto frontier (functions.skyline): per
+    return-flag, the line items no other same-flag item beats on BOTH
+    cheaper price AND larger quantity (one strict). Two-phase distributed
+    sort-scan: partition-local prune (safe — a locally-dominated point
+    is globally dominated) then a per-group exact pass; grouped form has
+    NO single-partition exchange. Pure comparisons, no arithmetic — no
+    cross-engine float hazard; the oracle replays the sort-scan
+    characterization (frontier iff qty strictly exceeds the running max
+    over all weakly-cheaper points) in one DuckDB window."""
+    from fonduer_spark.functions.skyline import skyline_min_max
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"))
+    return skyline_min_max(
+        li, "price", "qty", by=["flag"]).orderBy("flag", "price")
+
+
+_REL_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT DISTINCT l_returnflag AS flag, l_extendedprice AS price,
+         l_quantity AS qty
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+scan AS (
+  SELECT flag, price, qty,
+         max(qty) OVER (PARTITION BY flag ORDER BY price ASC, qty DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS rm
+  FROM pts
+)
+SELECT flag, price, qty FROM scan
+WHERE rm IS NULL OR qty > rm
+ORDER BY flag, price
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4836,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range": q_rel_range,
         "rel_rollup_time": q_rel_rollup_time,
         "rel_fuzzy_join": q_rel_fuzzy_join,
+        "rel_skyline": q_rel_skyline,
         "text_distinct_kmv": q_text_distinct_kmv,
         "text_bloom": q_text_bloom,
         "text_split_leakfree": q_text_split_leakfree,
@@ -4949,6 +4990,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_shortest_paths": _KG_SHORTEST_PATHS_SQL,
         "kg_linkpred": _KG_LINKPRED_SQL,
         "rel_fuzzy_join": _REL_FUZZY_JOIN_SQL,
+        "rel_skyline": _REL_SKYLINE_SQL,
         "kg_2hop_kmv": _kg_2hop_kmv_sql(),
         "text_bpe_train": _text_bpe_train_sql(),
         "text_bpe_encode": _text_bpe_encode_sql(),

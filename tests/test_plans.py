@@ -316,3 +316,19 @@ def test_fuzzy_join_blocked_equi_join_banded_kernel(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "levenshtein(_ls" in plan and "Some(2)" in plan
+
+
+def test_skyline_grouped_no_single_partition_no_python(spark):
+    """The grouped skyline must plan with NO single-partition exchange
+    (both window passes partition by the group key) and no Python
+    stages — the property that keeps per-group frontiers parallel at
+    100 TB. Ungrouped, phase 2 IS a single-partition pass, but only
+    over the phase-1-reduced set (disclosed in the docstring)."""
+    from fonduer_spark.functions.skyline import skyline_min_max
+
+    df = spark.createDataFrame(
+        [("a", 1, 2), ("b", 3, 4)], "g string, x int, y int")
+    plan = plan_of(skyline_min_max(df, "x", "y", by=["g"]))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
