@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fonduer_spark.corpus import PRED, gold_triples_sql
+from fonduer_spark.functions import analytics as an
 from fonduer_spark.functions import dedup as dd
 from fonduer_spark.functions import multimodal as mm
 from fonduer_spark.functions import similarity as sim
@@ -4762,6 +4763,213 @@ ORDER BY flag, price
 """
 
 
+def q_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering (dedup.set_similarity_join, PPJoin-style): 3-gram shingle
+    sets, global rare-first token order, per-set prefix of length
+    n - ceil(t*n) + 1, candidates = prefix-token equi-join — never
+    all-pairs. The oracle is the BRUTE-FORCE all-pairs ground truth, so
+    the prefix filter's zero-false-negative completeness guarantee is
+    itself what gets oracle-checked (vs dedup_lsh_verified, whose
+    approximate recall is by construction < 1)."""
+    return dd.set_similarity_join(
+        _docs(spark, sf_dir), threshold=0.25, shingle_n=3
+    ).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("inter").cast("long").alias("inter"),
+        "jaccard",
+    ).orderBy("a", "b")
+
+
+_DD_SHINGLES3 = f"""
+CASE WHEN len({_DD_TOKS}) >= 3 THEN
+  list_transform(range(0, len({_DD_TOKS}) - 2),
+                 i -> array_to_string(({_DD_TOKS})[i+1:i+3], ' '))
+ELSE [array_to_string({_DD_TOKS}, ' ')] END
+"""
+
+_DEDUP_SETJOIN_SQL = f"""
+WITH ds AS (
+  SELECT doc_id AS doc,
+         list_filter(list_distinct({_DD_SHINGLES3}),
+                     s -> length(s) > 0) AS sh
+  FROM documents
+),
+ds2 AS (SELECT doc, sh FROM ds WHERE len(sh) > 0),
+sz AS (SELECT doc, len(sh) AS n FROM ds2),
+ex AS (SELECT doc, unnest(sh) AS s FROM ds2),
+c AS (
+  SELECT x.doc AS a, y.doc AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM ex x JOIN ex y USING (s) WHERE x.doc < y.doc GROUP BY 1, 2
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, inter,
+       round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM c JOIN sz sa ON c.a = sa.doc JOIN sz sb ON c.b = sb.doc
+WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.25
+ORDER BY a, b
+"""
+
+
+def q_rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel (analytics.funnel): users completing
+    view -> click -> purchase in strict timestamp order; stage k joins
+    only stage-(k-1) survivors (cascading semi-join, monotonically
+    shrinking frames, every shuffle on the user key). All-integer
+    output; the oracle replays the cascade as chained CTEs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return an.funnel(ev, ["view", "click", "purchase"]).orderBy("stage")
+
+
+_REL_FUNNEL_SQL = """
+WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(0 AS INTEGER) AS stage, 'view' AS step,
+       CAST(count(*) AS BIGINT) AS n_users FROM s0
+UNION ALL
+SELECT CAST(1 AS INTEGER), 'click', CAST(count(*) AS BIGINT) FROM s1
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'purchase', CAST(count(*) AS BIGINT) FROM s2
+ORDER BY stage
+"""
+
+
+def q_rel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (analytics.cohort_retention): cohort =
+    Monday-truncated week of each user's first event; cells count
+    distinct active cohort users per week offset. Both engines truncate
+    weeks to Monday 00:00, so the day-diff is an exact multiple of 7 —
+    all-integer cells, no float hazard."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return an.cohort_retention(ev).select(
+        "cohort_week",
+        F.col("week_offset").cast("int").alias("week_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+_REL_COHORT_SQL = """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+      FROM events)
+SELECT f.cohort_week AS cohort_week,
+       CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS INTEGER)
+         AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_rel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition census over per-user event
+    sequences (analytics.event_transitions): lag over (user ORDER BY
+    ts, event_id) — the id tiebreak total-orders the sequence, so both
+    engines see the identical chain; row probability is ONE division of
+    exact integers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return an.event_transitions(ev).select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"), "p"
+    ).orderBy("from_type", "to_type")
+
+
+_REL_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+),
+c AS (SELECT from_type, event_type AS to_type, count(*) AS n
+      FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS BIGINT) /
+         CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+FROM c ORDER BY from_type, to_type
+"""
+
+
+def q_rel_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining (analytics.basket_pairs):
+    distinct (order, part) -> within-basket pairs via a self-equi-join
+    on the order key (per-basket cost O(k^2), boundable via
+    max_basket_items) -> support >= 2 -> confidence = support /
+    baskets-containing-a as ONE integer division."""
+    li = _t(spark, sf_dir, "lineitem")
+    return an.basket_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(
+        F.col("item_a").cast("long").alias("item_a"),
+        F.col("item_b").cast("long").alias("item_b"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_a").cast("long").alias("n_a"),
+        "conf",
+    ).orderBy("item_a", "item_b")
+
+
+_REL_BASKET_SQL = """
+WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+p AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_pairs
+      FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+ia AS (SELECT i AS item_a, count(*) AS n_a FROM it GROUP BY 1)
+SELECT CAST(item_a AS BIGINT) AS item_a,
+       CAST(item_b AS BIGINT) AS item_b,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_pairs AS BIGINT) / CAST(n_a AS BIGINT) AS conf
+FROM p JOIN ia USING (item_a)
+ORDER BY item_a, item_b
+"""
+
+
+def q_rel_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (analytics.grouped_pearson) of
+    quantity vs price, cross-engine-deterministic: inputs quantized to
+    exact integers (units / cents), six raw moments summed as exact
+    DECIMAL (order-independent), then ONE constant-size IEEE-double
+    expression per group, rounded to 9 — the CLAUDE.md float rule
+    applied to a second-moment statistic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return an.grouped_pearson(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"],
+        x_scale=1, y_scale=100,
+    ).orderBy("l_returnflag")
+
+
+_REL_CORR_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 1) AS DECIMAL(19,0)) AS xi,
+         CAST(round(l_extendedprice * 100) AS DECIMAL(19,0)) AS yi
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n0,
+         CAST(sum(xi) AS DOUBLE) AS sx,
+         CAST(sum(yi) AS DOUBLE) AS sy,
+         CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+         CAST(sum(yi * yi) AS DOUBLE) AS syy,
+         CAST(sum(xi * yi) AS DOUBLE) AS sxy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n0 AS BIGINT) AS n,
+       round((n0 * sxy - sx * sy) /
+             (sqrt(n0 * sxx - sx * sx) * sqrt(n0 * syy - sy * sy)),
+             9) AS corr
+FROM m ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4815,6 +5023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embcos": q_dedup_embcos,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_setjoin": q_dedup_setjoin,
         "dedup_semantic": q_dedup_semantic,
         "dedup_urls": q_dedup_urls,
         "dedup_recrawl": q_dedup_recrawl,
@@ -4877,6 +5086,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup_time": q_rel_rollup_time,
         "rel_fuzzy_join": q_rel_fuzzy_join,
         "rel_skyline": q_rel_skyline,
+        "rel_funnel": q_rel_funnel,
+        "rel_cohort": q_rel_cohort,
+        "rel_transitions": q_rel_transitions,
+        "rel_basket": q_rel_basket,
+        "rel_corr": q_rel_corr,
         "text_distinct_kmv": q_text_distinct_kmv,
         "text_bloom": q_text_bloom,
         "text_split_leakfree": q_text_split_leakfree,
@@ -4926,6 +5140,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_embcos": _DEDUP_EMBCOS_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
+        "dedup_setjoin": _DEDUP_SETJOIN_SQL,
         "dedup_semantic": _DEDUP_SEMANTIC_SQL,
         "dedup_urls": _DEDUP_URLS_SQL,
         "text_token_count": _TOKEN_COUNT_SQL,
@@ -4991,6 +5206,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred": _KG_LINKPRED_SQL,
         "rel_fuzzy_join": _REL_FUZZY_JOIN_SQL,
         "rel_skyline": _REL_SKYLINE_SQL,
+        "rel_funnel": _REL_FUNNEL_SQL,
+        "rel_cohort": _REL_COHORT_SQL,
+        "rel_transitions": _REL_TRANSITIONS_SQL,
+        "rel_basket": _REL_BASKET_SQL,
+        "rel_corr": _REL_CORR_SQL,
         "kg_2hop_kmv": _kg_2hop_kmv_sql(),
         "text_bpe_train": _text_bpe_train_sql(),
         "text_bpe_encode": _text_bpe_encode_sql(),

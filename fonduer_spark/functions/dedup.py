@@ -19,7 +19,7 @@ MinHash-LSH replaces the quadratic join with bucket-local pairs.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -578,4 +578,103 @@ def semantic_dedup(
             F.when(F.col("_dom").isNull(), F.lit(1)).otherwise(F.lit(0))
             .cast("int").alias("kept"),
         )
+    )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.25,
+    shingle_n: Optional[int] = 3,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering — the
+    scalable exact complement to the approximate MinHash-LSH path
+    (lsh_verified_pairs): zero false negatives by the prefix-filtering
+    principle (Chaudhuri et al. SSJoin / Xiao et al. PPJoin, public
+    literature), so the output EQUALS the all-pairs ground truth without
+    ever forming all pairs.
+
+    Plan: distinct tokens per doc -> global token order by (document
+    frequency asc, token asc) — rare-first, so hot tokens land at the
+    END of each sorted set and almost never inside a prefix (the skew
+    guard is the ALGORITHM here, not a max_df cutoff that would break
+    exactness) -> per-set prefix of length n - ceil(t*n) + 1 -> an
+    equi-join on prefix tokens proposes candidates (complete: two sets
+    with J >= t share >= ceil(t*n) tokens, which forces a common token
+    inside both prefixes under any shared total order) -> a conservative
+    size prune (t * max(na,nb) <= min(na,nb); exact when t is binary-
+    representable, e.g. 0.25/0.5) -> exact verify via array_intersect,
+    ONE integer division rounded to 6 (same convention as
+    ngram_jaccard_pairs, so the DuckDB oracle can be the brute-force
+    all-pairs ground truth — the completeness claim itself is what gets
+    oracle-checked). Returns (a, b, inter, jaccard) with a < b.
+
+    ``shingle_n``: the set elements — token ``n``-gram shingles (default
+    3, the same sets the MinHash path hashes), or ``None`` for unigram
+    token sets (degenerate on small shared vocabularies).
+    """
+    elems = (
+        normalized_tokens(F.col(text_col))
+        if shingle_n is None
+        else shingles(F.col(text_col), shingle_n)
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            F.array_distinct(elems),
+            lambda t: F.length(t) > 0,
+        ).alias("tk"),
+    ).where(F.size("tk") > 0)
+    ex = toks.select("doc", F.explode("tk").alias("t"))
+    dfreq = ex.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(dfreq, "t")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "t"))).alias("st"))
+    )
+    sized = ordered.select(
+        "doc",
+        F.transform("st", lambda s: s["t"]).alias("tk"),
+        F.size("st").alias("n"),
+    )
+    pref = sized.select(
+        "doc",
+        "n",
+        F.slice(
+            "tk",
+            1,
+            (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+            .cast("int"),
+        ).alias("ptk"),
+    )
+    cex = pref.select("doc", "n", F.explode("ptk").alias("t"))
+    cand = (
+        cex.alias("x")
+        .join(cex.alias("y"), "t")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .where(
+            F.lit(threshold) * F.greatest(F.col("x.n"), F.col("y.n"))
+            <= F.least(F.col("x.n"), F.col("y.n"))
+        )
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .distinct()
+    )
+    side = sized.select("doc", "tk", "n")
+    return (
+        cand.join(side.withColumnsRenamed({"doc": "a", "tk": "ta",
+                                           "n": "na"}), "a")
+        .join(side.withColumnsRenamed({"doc": "b", "tk": "tb",
+                                       "n": "nb"}), "b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "jaccard")
     )

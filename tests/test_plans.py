@@ -332,3 +332,42 @@ def test_skyline_grouped_no_single_partition_no_python(spark):
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_set_similarity_join_no_cartesian_all_jvm(spark):
+    """The prefix-filtered EXACT set-similarity join must candidate-
+    generate via an equi-join on prefix tokens — a CartesianProduct
+    would be the all-pairs scale-killer the prefix filter exists to
+    avoid — and stay JVM-side end to end (arrays + array_intersect,
+    no Python stages)."""
+    from fonduer_spark.functions.dedup import set_similarity_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(set_similarity_join(docs, threshold=0.25))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_analytics_plans_no_cartesian_no_python(spark):
+    """The analytics family (basket self-equi-join on the basket key,
+    funnel cascade on the user key, per-user transitions window, exact-
+    decimal pearson moments, cohort census) must plan as equi-joins /
+    keyed windows with no Python stages and no cartesian anywhere."""
+    from fonduer_spark.functions import analytics as an
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    frames = [
+        an.basket_pairs(li, "l_orderkey", "l_partkey", min_support=2),
+        an.funnel(ev, ["view", "click", "purchase"]),
+        an.event_transitions(ev),
+        an.grouped_pearson(li, "l_quantity", "l_extendedprice",
+                           ["l_returnflag"]),
+        an.cohort_retention(ev),
+    ]
+    for df in frames:
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
