@@ -44,12 +44,40 @@ from fonduer_spark.triples import normalize_surface
 from fonduer_spark.pipeline import kg_stages
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive scan spread (opt guide §2.5 'input skew' / §6): the
+    driver's parquet inputs are single small one-row-group files, so every
+    scan is ONE task and the hash/explode-heavy operators downstream run
+    serially (BENCH_r06 'machine' capture: dedup_minhash_pairs obtained 1.3
+    of 32 cores). Repartition up to the session's default parallelism ONLY
+    when the source scan yields fewer partitions — at production scale a
+    100 TB table already scans with >= parallelism splits and this is a
+    no-op (the guard, not a constant, is what makes it scale-adaptive).
+    Hash-partitioning on the id key is deterministic under task retry
+    (SPARK-38388); partitioning never changes row content, and every
+    aggregation on these paths is order-safe (md5 mins, integer counts,
+    per-row arithmetic)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    # .rdd on a pure scan plan (no exchanges) is planning-only — no job
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """``spread=False`` for pure narrow per-row projections (token counts,
+    ratio stats): their per-row work is cheaper than the spread's one
+    shuffle round-trip, and at scale the scan is already parallel — the
+    spread only pays when heavy per-row work (shingle explodes, md5
+    families, parses) sits between the scan and the first exchange."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(df, "doc_id") if spread else df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1914,7 +1942,7 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q = ts.quality_stats(_docs(spark, sf_dir))
+    q = ts.quality_stats(_docs(spark, sf_dir, spread=False))
     return q.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),

@@ -230,6 +230,7 @@ def extract_candidates_auto(
     slim: bool = False,
     salt_buckets: int = 8,
     persist: bool = True,
+    probe: str = "lazy",
 ) -> DataFrame:
     """Fused candidate generation with hot-doc overflow ROUTED, not dropped.
 
@@ -250,6 +251,17 @@ def extract_candidates_auto(
     branch both read the cached frame (one parse pass total). Long-lived
     drivers building many pipelines should unpersist or rely on LRU block
     eviction.
+
+    ``probe="eager"`` (r07, requires ``persist``): run the fused stage AT
+    CALL TIME (one job — the same job the overflow branch's broadcast
+    would trigger at first action anyway) and, when ZERO documents
+    overflow, return the normal branch alone. The union's join-path
+    subtree — a Python mention stage plus several salted-join shuffle
+    stages that all carry zero rows — is never planned, saving its task
+    churn on every downstream action. Rows are identical either way
+    (overflow docs still route through the join path when present); the
+    only change is that query CONSTRUCTION becomes eager, which is why
+    the default stays "lazy" for library callers.
     """
     from pyspark.sql import functions as F
 
@@ -264,9 +276,20 @@ def extract_candidates_auto(
         render=render, parse_cfg=parse_cfg,
         max_mentions_per_doc=max_mentions_per_doc, slim=slim,
     )
+    if probe not in ("lazy", "eager"):
+        raise ValueError(f"unknown probe mode {probe!r}: 'lazy' or 'eager'")
     if persist:
         fused = fused.persist()
     normal = fused.where(F.col("candidate_type") != OVERFLOW_TYPE)
+    if probe == "eager" and persist:
+        # materializes the (persisted) fused frame now; the overflow branch
+        # below would trigger the identical job at first action, so this
+        # moves — not adds — a job, and lets the no-overflow case skip the
+        # empty join-path subtree entirely
+        if fused.where(
+                F.col("candidate_type") == OVERFLOW_TYPE).isEmpty():
+            cols = SLIM_COLUMNS if slim else CANDIDATE_COLUMNS
+            return normal.select(*cols)
     # marker urls -> doc ids (url = corpus.url_of(doc_id) = ...d<id>)
     over_ids = (
         fused.where(F.col("candidate_type") == OVERFLOW_TYPE)
@@ -274,7 +297,13 @@ def extract_candidates_auto(
             F.regexp_extract("url", r"d(\d+)$", 1).cast("long").alias("doc_id")
         )
     )
-    over_docs = docs.join(F.broadcast(over_ids), "doc_id")
+    # AQE-sizable exchange: over_docs inherits the full docs partitioning
+    # (e.g. 4x parallelism), so without this the overflow mention stage
+    # schedules that many Python tasks even when ZERO docs overflow —
+    # measured ~0.5 s of no-op task churn per pipeline run. A keyed
+    # repartition lets AQE coalesce the (usually empty) side to ~1 task
+    # while real overflow spreads by bytes as before (guide §2.2).
+    over_docs = docs.join(F.broadcast(over_ids), "doc_id").repartition("doc_id")
     mentions_o = extract_mentions_fused(
         over_docs, specs, render=render, parse_cfg=parse_cfg)
     cands_o = extract_candidates(

@@ -174,11 +174,18 @@ def load_docs(
     # Explicit url-hash-equivalent repartitioning (north_rule): the driver's
     # parquet is a single file -> 1 split; spread the per-doc parse work
     # across the cluster. doc_id is the url key (url = url_of(doc_id)).
-    # 4x tasks per core: bounds the cost of any one straggling task and lets
-    # the scheduler rebalance (cheap here; at 100 TB, partition count comes
-    # from target split size instead). Repartition BEFORE the replicate
-    # explode so the inflation itself is distributed, not a serial prefix.
-    n_parts = max(spark.sparkContext.defaultParallelism * 4, 16)
+    # 1x tasks per core (r07): the earlier 4x over-decomposition cost ~1.5 s
+    # of per-task scheduling + Python-stage churn per pipeline run (measured
+    # sweep at 32 cores: x4 4.08 s, x2 2.64 s, x1 2.58 s end-to-end) —
+    # straggler coverage now comes from speculation + AQE rather than task
+    # over-splitting. Replicated corpora (the sf1/scaling legs) keep the 4x
+    # split: the post-repartition explode multiplies per-task work
+    # replicate-fold, so coarse tasks there would re-create the straggler
+    # tail the 4x split bounds. At 100 TB, partition count comes from
+    # target split size instead. Repartition BEFORE the replicate explode
+    # so the inflation itself is distributed, not a serial prefix.
+    mult = 4 if replicate > 1 else 1
+    n_parts = max(spark.sparkContext.defaultParallelism * mult, 16)
     docs = docs.repartition(n_parts, "doc_id")
     if replicate > 1:
         # Bench-scale corpus inflation: distinct doc indexes per replica so

@@ -122,6 +122,35 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
+    sig = _minhash_sig_frame(ex, k, family)
+    band_keys = F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    *[F.col(f"h{b * rows + j}") for j in range(rows)])
+        for b in range(bands)
+    ])
+    keyed = sig.select(F.col("doc"), F.explode(band_keys).alias("bk"))
+    a = keyed.select(F.col("doc").alias("a"), "bk")
+    b = keyed.select(F.col("doc").alias("b"), "bk")
+    return (
+        a.join(b, "bk")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _minhash_sig_frame(ex: DataFrame, k: int, family: str) -> DataFrame:
+    """(doc, shingle) rows -> persisted (doc, h0..h{k-1}) signature frame.
+
+    Persisting the POST-aggregation signatures (one narrow row per doc —
+    k hex strings / ints, a ~500-byte proxy row per document at any scale)
+    is the guide-§8 'decide with small rows' move: the band self-join
+    otherwise plans the ENTIRE explode+md5+min aggregation subtree once per
+    join side (Catalyst does not share subtrees across self-join branches),
+    doubling the dominant md5 cost of the operator (measured in the r07
+    plan capture: two SortAggregate towers feeding the bucket join). The
+    cache is an intra-query intermediate, materialized inside the timed
+    run; callers/benches clearCache() between runs."""
     if family == "km":
         h = F.md5("s")
         hashed = ex.select(
@@ -139,20 +168,7 @@ def minhash_lsh_pairs(
             F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
             for i in range(k)
         ])
-    band_keys = F.array(*[
-        F.concat_ws("|", F.lit(str(b)),
-                    *[F.col(f"h{b * rows + j}") for j in range(rows)])
-        for b in range(bands)
-    ])
-    keyed = sig.select(F.col("doc"), F.explode(band_keys).alias("bk"))
-    a = keyed.select(F.col("doc").alias("a"), "bk")
-    b = keyed.select(F.col("doc").alias("b"), "bk")
-    return (
-        a.join(b, "bk")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    return sig.persist()
 
 
 def lsh_verified_pairs(
@@ -175,10 +191,16 @@ def lsh_verified_pairs(
     Output: (a, b, jaccard) with jaccard >= threshold.
     """
     pairs = minhash_lsh_pairs(docs, id_col, text_col, k, bands, shingle_n)
+    # persisted: the a-side and b-side verify joins otherwise each re-plan
+    # the scan+shingle+distinct subtree (Catalyst shares no subtrees across
+    # self-join branches) — one shingle pass instead of two; intra-query
+    # intermediate, spills via MEMORY_AND_DISK at scale (the guide-§8
+    # trade: cache the per-doc shingle sets once rather than re-deriving
+    # them from the corpus per join side)
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    ).persist()
     out = (
         pairs.join(sh.withColumnsRenamed({"doc": "a", "sh": "sha"}), "a")
         .join(sh.withColumnsRenamed({"doc": "b", "sh": "shb"}), "b")
@@ -390,11 +412,14 @@ def embedding_near_dup_pairs_lsh(
     Recall < 1 by construction; ``embedding_near_dup_pairs`` (cartesian)
     stays as the bounded ground-truth kernel.
     """
-    from .similarity import cosine, md5_bucket
+    from .similarity import dot, md5_bucket, norm
 
+    # (doc, bucket-key) proxy rows only — the vector column must NOT ride
+    # into the self-join (project early, guide §2.3); persisted so the two
+    # join sides share ONE bucket-hash pass (16 plane dots per vector)
+    # instead of Catalyst re-planning the subtree per side
     keyed = emb.select(
         F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("v"),
         F.explode(F.array(*[
             F.concat_ws(
                 "|", F.lit(str(t)),
@@ -402,7 +427,7 @@ def embedding_near_dup_pairs_lsh(
             )
             for t in range(n_tables)
         ])).alias("bk"),
-    )
+    ).persist()
     a = keyed.select(F.col("doc").alias("a"), "bk")
     b = keyed.select(F.col("doc").alias("b"), "bk")
     pairs = (
@@ -411,12 +436,24 @@ def embedding_near_dup_pairs_lsh(
         .select("a", "b")
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # norms precomputed ONCE PER VECTOR in the join-side projections —
+    # cos = dot/(na*nb) evaluates the identical IEEE expression tree as
+    # cosine(va, vb) (same fold order, same multiply order), so the rounded
+    # scores are bit-identical while the per-PAIR work drops from three
+    # 64-dim folds to one (guide §1.2 'don't compute things you throw away')
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                    norm(F.col(vec_col)).alias("_na"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                    norm(F.col(vec_col)).alias("_nb"))
     return (
         pairs.join(va, "a")
         .join(vb, "b")
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+                6,
+            ))
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
@@ -536,7 +573,8 @@ def semantic_dedup(
 
     Returns (vec_id, cell, kept int 0/1) for every input row.
     """
-    from .similarity import cosine, ivf_assignment_structs, kmeans_centroids
+    from .similarity import (dot, ivf_assignment_structs, kmeans_centroids,
+                             norm)
 
     if quantizer == "kmeans":
         cents = kmeans_centroids(emb, n_centroids, vec_col=vec_col)
@@ -553,19 +591,27 @@ def semantic_dedup(
     if bad:
         raise ValueError(f"centroid dimension {bad[0]} != declared dim {dim}")
     structs = ivf_assignment_structs(F.col(vec_col), cents)
+    # persisted: the in-cell self-join and the final kept-join otherwise
+    # re-plan the centroid-assignment arithmetic (n_centroids 64-dim dots
+    # per vector) once per branch; norms ride along so the per-PAIR verify
+    # is one fold, not three (bit-identical — see cosine_topk)
     asg = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("_n"),
         F.least(*structs)["j"].alias("cell"),
-    )
+    ).persist()
     lo = asg.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
-                    "cell")
+                    F.col("_n").alias("_na"), "cell")
     hi = asg.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
-                    "cell")
+                    F.col("_n").alias("_nb"), "cell")
     dominated = (
         lo.join(hi, "cell")
         .where(F.col("a") < F.col("b"))
-        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .where(
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("_na") * F.col("_nb")), 6) >= threshold)
         .select("b")
         .distinct()
         .withColumn("_dom", F.lit(1))

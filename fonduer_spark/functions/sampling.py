@@ -348,8 +348,12 @@ def quota_sample(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-    # bucket from a DIFFERENT md5 slice than the rank prefix, so bucket
-    # membership is independent of rank order within the stratum
+    # bucket from an md5 slice of the SAME digest the rank key uses (the
+    # rank key is the full hex string, which includes chars 9-14), so
+    # bucket membership is NOT independent of rank order — it does not
+    # need to be: the two-phase top-k is exact under ANY deterministic
+    # bucketing, because the global top-k is a subset of the per-bucket
+    # top-ks regardless of how rows are assigned (ADVICE r6 comment fix)
     bucket = F.pmod(
         F.conv(F.substring(key, 9, 6), 16, 10).cast("long"),
         F.lit(int(n_buckets)),

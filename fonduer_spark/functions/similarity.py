@@ -75,15 +75,28 @@ def cosine_topk(
             "lsh_bucketed_ann (multiprobe for recall) for large query sets, "
             "or raise max_queries explicitly if the corpus is small."
         )
+    # norms are computed ONCE PER ROW in each side's projection (not once
+    # per (query, neighbor) pair inside the nested loop): score =
+    # dot/(qn*cn) is the identical IEEE expression tree as cosine(qv, cv)
+    # — same fold order, same multiply order — so the rounded scores are
+    # bit-identical while per-pair work drops 3x (guide §1.2)
     q = emb.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("cv"),
+                   norm(F.col(vec_col)).alias("_cn"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+                6,
+            ))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -267,20 +280,29 @@ def ivf_bucketed_ann(
     bucketed = emb.withColumn("cell", F.least(*structs)["j"])
     probes = F.transform(
         F.slice(F.array_sort(arr), 1, nprobe), lambda s: s["j"])
+    # per-row norm precompute (see cosine_topk): bit-identical scores,
+    # one 64-dim fold per probed pair instead of three
     q = (
         bucketed.where(F.col(id_col).isin(list(query_ids)))
         .select(F.col(id_col).alias("query_id"), v.alias("qv"),
+                norm(v).alias("_qn"),
                 F.explode(probes).alias("cell"))
     )
     c = bucketed.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("_cn"),
         "cell",
     )
     scored = (
         F.broadcast(q)
         .join(c, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+                6,
+            ))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -360,10 +382,12 @@ def lsh_bucketed_ann(
         F.array(*bcols) if bcols is not None else _buckets(F.col(vec_col)))
     c_all = bucketed.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("_cn"),
         F.posexplode("buckets").alias("ct", "cb"),
     )
     q_all = bucketed.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_qn"),
         F.posexplode("buckets").alias("qt", "qb"),
     )
     if multiprobe >= 1:
@@ -374,7 +398,7 @@ def lsh_bucketed_ann(
             *[F.col("qb").bitwiseXOR(F.lit(1 << j))
               for j in range(n_planes)],
         )
-        q_all = q_all.select("query_id", "qv", "qt",
+        q_all = q_all.select("query_id", "qv", "_qn", "qt",
                              F.explode(probes).alias("qb"))
     cand = (
         F.broadcast(q_all)
@@ -386,8 +410,14 @@ def lsh_bucketed_ann(
         # one table the multiprobe buckets are distinct by construction,
         # so single-table plans keep their shuffle-free candidate path)
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    # per-row norm precompute (see cosine_topk): bit-identical scores,
+    # one 64-dim fold per candidate pair instead of three
     scored = cand.withColumn(
-        "score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        "score",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+            6,
+        ))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -465,6 +495,9 @@ def knn_graph(
     bucket); the final window shuffles once on the source id with at most
     sum-of-bucket-sizes rows per source. Returns (src, dst, cos, rank).
     """
+    # persisted (doc, bucket-key) proxy rows: the self-join otherwise plans
+    # the 16-plane bucket hashing once per side (no cross-branch subtree
+    # sharing in Catalyst) — see embedding_near_dup_pairs_lsh
     keyed = emb.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array(*[
@@ -474,7 +507,7 @@ def knn_graph(
             )
             for t in range(n_tables)
         ])).alias("bk"),
-    )
+    ).persist()
     a = keyed.select(F.col("doc").alias("a"), "bk")
     b = keyed.select(F.col("doc").alias("b"), "bk")
     pairs = (
@@ -483,12 +516,17 @@ def knn_graph(
         .select("a", "b")
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # per-vector norm precompute (see cosine_topk): bit-identical cosines
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                    norm(F.col(vec_col)).alias("_na"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                    norm(F.col(vec_col)).alias("_nb"))
     scored = (
         pairs.join(va, "a").join(vb, "b")
         .select("a", "b",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+                F.round(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("_na") * F.col("_nb")), 6).alias("cos"))
     )
     edges = scored.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "cos"

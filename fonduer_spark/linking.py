@@ -571,8 +571,13 @@ def neighborhood_kmv(
     Round 1 builds each node's bottom-k sketch of 32-bit md5 neighbor
     hashes; round 2 merges each node's own sketch with its neighbors'
     sketches (KMV closure: bottom-k(union of bottom-k's) == bottom-k of
-    the union, so the merged sketch is a TRUE sketch of the exact <=2-hop
-    set) and re-estimates with the standard (k-1) * 2**32 div h_k rule.
+    the union — exact up to one edge case: the self hash is excluded
+    AFTER the component sketches were truncated to k, so when it ranks
+    inside the bottom-k the (k+1)-th union element it displaced is lost
+    and h_k is slightly biased; the oracle replays the identical
+    computation, so the contract is unaffected, but do not rely on an
+    unbiased-KMV property here — ADVICE r6) and re-estimates with the
+    standard (k-1) * 2**32 div h_k rule.
 
     Scale: O(|E| * k) rows per propagation round — linear in edges, NO
     dependence on hub degree (the reason ANF exists); one more
@@ -672,9 +677,19 @@ def bfs_distances(
         )
         nxt = nxt.persist()
         if nxt.isEmpty():
+            nxt.unpersist()
             break
-        dist = dist.unionByName(nxt).persist()
-        frontier = nxt.select("node")
+        # Per-round cleanup (ADVICE r6): materialize the new cumulative
+        # frame while its parents are still cached, then release them —
+        # at most two cached frames outlive any round instead of
+        # ~2*max_hops. The next frontier reads the materialized union
+        # (dist == h rows are exactly nxt), never the released parents.
+        new_dist = dist.unionByName(nxt).persist()
+        new_dist.count()
+        dist.unpersist()
+        nxt.unpersist()
+        dist = new_dist
+        frontier = dist.where(F.col("dist") == h).select("node")
     return dist
 
 

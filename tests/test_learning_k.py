@@ -181,6 +181,30 @@ def test_logreg_fit_collect_is_bounded(spark):
     assert scored.count() == 200  # scoring covers the full frame
 
 
+def test_collect_csr_default_is_capped(spark):
+    """r07 (VERDICT r6 watch-item): collect_csr's DEFAULT path must bound
+    the driver collect — max_fit_candidates now defaults to the shared
+    200k cap instead of None, with None as the explicit opt-out."""
+    import inspect
+
+    from fonduer_spark.learning import collect_csr
+
+    sig = inspect.signature(collect_csr)
+    assert sig.parameters["max_fit_candidates"].default == 200_000
+    feats = spark.createDataFrame(
+        [(f"c{i:03d}", ["f"], [1.0]) for i in range(30)],
+        "candidate_sid string, keys array<string>, values array<double>")
+    # small cap engages the deterministic sampler on the same entry point
+    indptr, indices, data, sids, key_order = collect_csr(
+        feats, max_fit_candidates=10)
+    assert 0 < len(sids) < 30
+    indptr2, indices2, data2, sids2, _ = collect_csr(
+        feats, max_fit_candidates=10)
+    assert sids == sids2  # hash-stable subset
+    # explicit opt-out collects everything
+    assert len(collect_csr(feats, max_fit_candidates=None)[3]) == 30
+
+
 def test_bounded_fit_rows_dedupes_duplicate_marginals(spark):
     """ADVICE r5: duplicate candidate_sids in marginals must not duplicate
     fit rows (which would inflate those candidates' weight and overshoot

@@ -85,19 +85,28 @@ def test_fused_pipeline_single_python_stage(spark):
 
 
 def test_minhash_pairs_single_signature_pass(spark):
-    """The relational MinHash computes md5 aggregations once (no duplicated
-    signature subtrees): exactly one HashAggregate pair over the exploded
-    shingles feeding the band join."""
+    """The relational MinHash computes md5 aggregations ONCE (no duplicated
+    signature subtrees): since r07 the post-aggregation signature frame is
+    persisted, so BOTH band-join sides read the cache — the plan carries
+    exactly one shingle-explode+aggregation tower (inside the cached
+    relation) and two band-key explodes (one per join side), instead of the
+    pre-r07 shape that planned the whole explode+md5+min tower once per
+    side (2x the dominant md5 cost, visible as two SortAggregate towers in
+    plans/r07/dedup_minhash_pairs_before.txt)."""
     from fonduer_spark.functions.dedup import minhash_lsh_pairs
 
     import re
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(minhash_lsh_pairs(docs, k=8, bands=4))
-    # 2 shingle explodes + 2 band-key explodes (one per join side) — NOT one
-    # signature subtree per band (2*bands would be 8+)
-    assert len(re.findall(r"Generate \(\d+\)", plan)) == 4
-    # signature = one aggregation per side over exploded shingles
+    # both join sides scan the persisted signature frame
+    assert plan.count("InMemoryTableScan") >= 2
+    # DISTINCT Generate nodes: 2 band-key explodes (one per join side) + 1
+    # shingle explode inside the single cached signature tower (the cached
+    # tower prints under each side but its node ids are shared — one
+    # execution). Pre-r07 the tower was planned per side: 4 distinct.
+    gen_ids = set(re.findall(r"Generate \((\d+)\)", plan))
+    assert len(gen_ids) == 3, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
