@@ -285,9 +285,13 @@ def extract_candidates_auto(
         # materializes the (persisted) fused frame now; the overflow branch
         # below would trigger the identical job at first action, so this
         # moves — not adds — a job, and lets the no-overflow case skip the
-        # empty join-path subtree entirely
-        if fused.where(
-                F.col("candidate_type") == OVERFLOW_TYPE).isEmpty():
+        # empty join-path subtree entirely. count(), NOT isEmpty(): take(1)
+        # escalates over partition subsets (1 -> 4 -> 20 -> all) and would
+        # run the Python parse in sequential low-parallelism waves when no
+        # marker exists; count() fills the cache in one full-width job.
+        n_over = fused.where(
+            F.col("candidate_type") == OVERFLOW_TYPE).count()
+        if n_over == 0:
             cols = SLIM_COLUMNS if slim else CANDIDATE_COLUMNS
             return normal.select(*cols)
     # marker urls -> doc ids (url = corpus.url_of(doc_id) = ...d<id>)

@@ -289,7 +289,10 @@ def ngram_jaccard_pairs(
     hot = (
         ex.groupBy("s").count().where(F.col("count") > max_df).select("s")
     )
-    ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    # persisted: the self-join below otherwise re-plans the shingle
+    # explode + hot-shingle anti-join once per side (r07; this kernel is
+    # doc-capped by contract, so the cached exploded frame is bounded)
+    ex = ex.join(F.broadcast(hot), "s", "left_anti").persist()
     common = (
         ex.alias("x")
         .join(ex.alias("y"), "s")
@@ -679,11 +682,17 @@ def set_similarity_join(
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list(F.struct("df", "t"))).alias("st"))
     )
+    # persisted (r07): four consumers below — both prefix-join sides and
+    # both verify side-joins — otherwise each re-plan the whole
+    # explode + document-frequency join + sort-collect tower (the rare-
+    # first global ordering), i.e. ~4x the dominant ordering cost; one
+    # narrow (id, tokens, n) row per doc, the same per-doc-set scale
+    # class the verify stage of lsh_verified_pairs caches
     sized = ordered.select(
         "doc",
         F.transform("st", lambda s: s["t"]).alias("tk"),
         F.size("st").alias("n"),
-    )
+    ).persist()
     pref = sized.select(
         "doc",
         "n",
